@@ -1,0 +1,161 @@
+"""CLI entry points mirroring the reference's two training scripts.
+
+``python -m cswin_simam_unet_tpu.cli train --config unet --image-dir ...``
+reproduces ``train_unet_segmentation.py main()``
+(train_unet_segmentation.py:406-547); ``--config cswinunet`` reproduces
+``train_cswinunet_segmentation.py main()`` (:844-1002).  Unlike the
+reference, paths and hyperparameters are flags, checkpoints are periodic with
+auto-resume, and training can data-parallelise over every local TPU chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import jax
+import numpy as np
+
+from cswin_simam_unet_tpu.configs import CONFIGS, build_model, get_config
+from cswin_simam_unet_tpu.data import (
+    DataLoader,
+    SegmentationDataSource,
+    train_test_indices,
+)
+from cswin_simam_unet_tpu.train.checkpoint import CheckpointStore
+from cswin_simam_unet_tpu.train.engine import (
+    FitConfig,
+    create_train_state,
+    fit,
+)
+from cswin_simam_unet_tpu.train.reporting import (
+    config_banner,
+    plot_metrics,
+    save_metrics_to_csv,
+)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cswin_simam_unet_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a segmentation model")
+    t.add_argument("--config", default="unet", choices=sorted(CONFIGS))
+    t.add_argument("--image-dir", required=True)
+    t.add_argument("--mask-dir", required=True)
+    t.add_argument("--output-dir", default=".")
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--image-size", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--seed", type=int, default=None)
+    t.add_argument("--no-augment", action="store_true")
+    t.add_argument("--resume", action="store_true",
+                   help="resume from latest checkpoint if present")
+    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype")
+
+    ls = sub.add_parser("list-configs", help="list available configs")
+    return p
+
+
+def run_train(args) -> int:
+    overrides = {}
+    if args.epochs is not None:
+        overrides["num_epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.image_size is not None:
+        overrides["image_size"] = args.image_size
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.bf16:
+        overrides["model_dtype"] = "bfloat16"
+    cfg = get_config(args.config, **overrides)
+    if args.no_augment:
+        cfg = dataclasses.replace(cfg, augment=None)
+
+    size = (cfg.image_size, cfg.image_size)
+    # Two dataset views over the same dirs, augment handled on device;
+    # index split identical to the reference (sklearn, seed).
+    source = SegmentationDataSource(args.image_dir, args.mask_dir, size)
+    train_idx, test_idx = train_test_indices(len(source), cfg.test_split,
+                                             cfg.seed)
+    train_loader = DataLoader(source, train_idx, cfg.batch_size, shuffle=True,
+                              num_workers=cfg.num_workers, seed=cfg.seed)
+    test_loader = DataLoader(source, test_idx, cfg.batch_size, shuffle=False,
+                             num_workers=max(1, cfg.num_workers // 2))
+
+    model = build_model(cfg.model, cfg.image_size)
+    state = create_train_state(
+        model, jax.random.PRNGKey(cfg.seed),
+        (1, cfg.image_size, cfg.image_size, cfg.model.in_channels),
+        optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay)
+
+    print(config_banner({
+        "config": cfg.name,
+        "devices": jax.devices(),
+        "dataset": f"{len(source)} images "
+                   f"({len(train_idx)} train / {len(test_idx)} test)",
+        "image_size": cfg.image_size,
+        "batch_size": cfg.batch_size,
+        "optimizer": cfg.optimizer,
+        "learning_rate": cfg.learning_rate,
+        "weight_decay": cfg.weight_decay,
+        "epochs": cfg.num_epochs,
+        "augment": cfg.augment,
+        "params": sum(x.size for x in jax.tree_util.tree_leaves(state.params)),
+    }))
+
+    ckpt_dir = args.checkpoint_dir or cfg.checkpoint_dir or os.path.join(
+        args.output_dir, f"{cfg.output_prefix}_checkpoints")
+    store = CheckpointStore(ckpt_dir)
+
+    fit_cfg = FitConfig(
+        num_epochs=cfg.num_epochs, n_classes=cfg.model.n_classes,
+        augment=cfg.augment, plateau_factor=cfg.plateau_factor,
+        plateau_patience=cfg.plateau_patience,
+        plateau_min_lr=cfg.plateau_min_lr, seed=cfg.seed,
+        checkpoint_manager=store)
+
+    history = scheduler = None
+    start_epoch = 0
+    if args.resume and store.latest_epoch() is not None:
+        state, scheduler, history, start_epoch = store.restore(state)
+        print(f"Resumed from epoch {start_epoch}")
+
+    state, history = fit(model, state, train_loader, test_loader, fit_cfg,
+                         history=history, scheduler=scheduler,
+                         start_epoch=start_epoch)
+
+    prefix = os.path.join(args.output_dir, cfg.output_prefix)
+    save_metrics_to_csv(history, f"{prefix}_training_metrics.csv")
+    plot_metrics(history, f"{prefix}_training_metrics.png", title=cfg.name)
+    best_epoch, best_dice = store.best_epoch()
+    print(f"Done. Best test Dice {best_dice:.4f} at epoch {best_epoch}. "
+          f"Artifacts: {prefix}_training_metrics.{{csv,png}}, "
+          f"checkpoints in {ckpt_dir}")
+    store.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.command == "list-configs":
+        for name in sorted(CONFIGS):
+            c = CONFIGS[name]
+            print(f"{name}: {c.model.family} img={c.image_size} "
+                  f"bs={c.batch_size} opt={c.optimizer} "
+                  f"simam={c.model.use_simam} classes={c.model.n_classes}")
+        return 0
+    return run_train(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""Host->device input pipeline: threaded decode, batching, prefetch.
+
+TPU-native replacement for the reference's torch ``DataLoader`` worker
+processes + pinned-memory H2D copies (train_unet_segmentation.py:464-478).
+Decode/resize runs in a thread pool (cv2/libjpeg release the GIL); batches
+are assembled as uint8 numpy and transferred once per batch with
+``jax.device_put``; a small prefetch queue keeps N batches in flight so the
+TPU never waits on the host.  Normalisation (/255) and augmentation happen
+on device inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+
+from cswin_simam_unet_tpu.data.dataset import SegmentationDataSource
+
+
+class DataLoader:
+    """Iterates (images uint8 (B,H,W,3), masks uint8 (B,H,W,1)) numpy batches.
+
+    Reference semantics preserved: ``shuffle`` per epoch (train only),
+    partial final batch kept (the engine weights batches uniformly, matching
+    the reference's quirk), deterministic order under a seed.
+    """
+
+    def __init__(self, source: SegmentationDataSource,
+                 indices: Optional[Sequence[int]] = None,
+                 batch_size: int = 4, shuffle: bool = False,
+                 num_workers: int = 4, seed: int = 0,
+                 drop_last: bool = False,
+                 prefetch: int = 2):
+        self.source = source
+        self.indices = np.asarray(
+            indices if indices is not None else np.arange(len(source)))
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self) -> np.ndarray:
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self._epoch_order()
+        self._epoch += 1
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        # Two pools: decode workers load samples; a small batch pool overlaps
+        # whole-batch assembly with consumption.  (A single shared pool would
+        # deadlock: assemble tasks would wait on load tasks that can never be
+        # scheduled once all workers hold assemble tasks.)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as decode_pool, \
+                ThreadPoolExecutor(max_workers=max(1, self.prefetch)) as batch_pool:
+            pending = collections.deque()
+
+            def assemble(idx_batch):
+                samples = list(decode_pool.map(self.source.load, idx_batch))
+                images = np.stack([s[0] for s in samples])
+                masks = np.stack([s[1] for s in samples])
+                return images, masks
+
+            it = iter(batches)
+            # keep `prefetch` batch futures in flight
+            for _ in range(self.prefetch):
+                b = next(it, None)
+                if b is not None:
+                    pending.append(batch_pool.submit(assemble, b))
+            while pending:
+                fut = pending.popleft()
+                b = next(it, None)
+                if b is not None:
+                    pending.append(batch_pool.submit(assemble, b))
+                yield fut.result()
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Move numpy batches to device ahead of consumption (double-buffered
+    H2D), optionally placing them with a NamedSharding for pjit training."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(iterator)
+    for _ in range(size):
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            break
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

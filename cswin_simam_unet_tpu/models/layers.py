@@ -1,0 +1,239 @@
+"""Shared flax building blocks for the CSWin-UNet model family.
+
+Pure linen modules in NHWC / (B, L, C) token layouts.  Each module documents
+the reference component it provides parity with (file:line cites refer to
+``/root/reference/train_cswinunet_segmentation.py`` unless noted).  Unlike
+the reference, nothing here stores activations on ``self`` — skip pyramids
+are returned explicitly so every forward is pure and re-entrant under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cswin_simam_unet_tpu.ops.attention import stripe_attention
+from cswin_simam_unet_tpu.ops.carafe import carafe_reassemble
+from cswin_simam_unet_tpu.ops.simam import simam
+from cswin_simam_unet_tpu.ops.windows import stripe_geometry, tokens_to_nhwc, nhwc_to_tokens
+
+Dtype = Any
+
+# torch.nn.Linear/Conv default init is kaiming-uniform; the reference then
+# re-initialises every Linear with trunc_normal(std=0.02) and LayerNorm/BN to
+# unit/zero (ref :607-614).  We init Dense kernels the same way; convs keep
+# flax's lecun_normal (a fresh-training choice — parity tests always run with
+# imported weights, so init never affects parity).
+dense_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm ``DropPath`` semantics).
+
+    The reference wraps residual branches in ``DropPath(drop_path)`` when the
+    rate is positive (ref :344).  At train time each *sample* keeps its
+    residual with probability ``1 - rate`` and is rescaled by ``1/keep``.
+    """
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    """Linear -> GELU(exact) -> Dropout -> Linear -> Dropout (ref :180-196)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_features, kernel_init=dense_init,
+                     dtype=self.dtype, name="fc1")(x)
+        # torch nn.GELU defaults to the exact erf form.
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_features, kernel_init=dense_init,
+                     dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class LePEAttention(nn.Module):
+    """One stripe/global attention branch with LePE (ref :220-298).
+
+    Owns the depthwise 3x3 ``get_v`` kernel (ref :244) and dispatches the
+    compute to :func:`cswin_simam_unet_tpu.ops.attention.stripe_attention`
+    (XLA path) or the fused Pallas kernel.
+    """
+
+    dim: int
+    resolution: int
+    idx: int  # -1 global, 0 vertical stripes, 1 horizontal stripes
+    split_size: int
+    num_heads: int
+    attn_drop: float = 0.0
+    qk_scale: Optional[float] = None
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        hsp, wsp = stripe_geometry(self.resolution, self.split_size, self.idx)
+        # Depthwise conv params, HWIO with feature_group_count == dim.
+        kernel = self.param("get_v_kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.dim), jnp.float32)
+        bias = self.param("get_v_bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        rng = None
+        if self.attn_drop > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        if self.use_pallas:
+            from cswin_simam_unet_tpu.ops.pallas_attention import (
+                stripe_attention_pallas,
+            )
+            out = stripe_attention_pallas(
+                q, k, v, kernel.astype(self.dtype),
+                H=self.resolution, W=self.resolution, hsp=hsp, wsp=wsp,
+                num_heads=self.num_heads, scale=self.qk_scale,
+                attn_drop=self.attn_drop, deterministic=deterministic,
+                dropout_rng=rng,
+            )
+        else:
+            out = stripe_attention(
+                q, k, v, kernel.astype(self.dtype),
+                H=self.resolution, W=self.resolution, hsp=hsp, wsp=wsp,
+                num_heads=self.num_heads, scale=self.qk_scale,
+                attn_drop=self.attn_drop, deterministic=deterministic,
+                dropout_rng=rng,
+            )
+        # get_v bias: constant per channel, conv(v)+b — add after the window
+        # attention output since lepe enters additively.
+        return out + bias.astype(out.dtype)
+
+
+class CSWinBlock(nn.Module):
+    """Pre-norm CSWin transformer block (ref :301-370).
+
+    Two parallel half-channel stripe branches (vertical + horizontal) form
+    the cross-shaped receptive field; the last stage runs one global-window
+    branch.  ``reso == split_size`` auto-promotes to last stage (ref :317).
+    """
+
+    dim: int
+    reso: int
+    num_heads: int
+    split_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    last_stage: bool = False
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        C = self.dim
+        last = self.last_stage or (self.reso == self.split_size)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=dense_init,
+                       dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        branch_kw = dict(
+            resolution=self.reso, split_size=self.split_size,
+            attn_drop=self.attn_drop, qk_scale=self.qk_scale,
+            use_pallas=self.use_pallas, dtype=self.dtype,
+        )
+        if last:
+            attn_out = LePEAttention(dim=C, idx=-1, num_heads=self.num_heads,
+                                     name="attn0", **branch_kw)(
+                q, k, v, deterministic)
+        else:
+            half = C // 2
+            o0 = LePEAttention(dim=half, idx=0, num_heads=self.num_heads // 2,
+                               name="attn0", **branch_kw)(
+                q[..., :half], k[..., :half], v[..., :half], deterministic)
+            o1 = LePEAttention(dim=half, idx=1, num_heads=self.num_heads // 2,
+                               name="attn1", **branch_kw)(
+                q[..., half:], k[..., half:], v[..., half:], deterministic)
+            attn_out = jnp.concatenate([o0, o1], axis=-1)
+
+        attn_out = nn.Dense(C, kernel_init=dense_init, dtype=self.dtype,
+                            name="proj")(attn_out)
+        # NB: the reference defines proj_drop but never applies it (ref :366-368).
+        x = x + DropPath(self.drop_path, name="drop_path")(attn_out, deterministic)
+        h2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        mlp_out = Mlp(int(C * self.mlp_ratio), C, drop=self.drop,
+                      dtype=self.dtype, name="mlp")(h2, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
+        return x
+
+
+class MergeBlock(nn.Module):
+    """Inter-stage downsample: conv3x3/s2 halving resolution, doubling
+    channels, then LayerNorm (ref :373-388).  Optionally applies SimAM to the
+    conv output (the CSWin-SimAM-UNet variant fuses SimAM into conv paths)."""
+
+    dim_out: int
+    use_simam: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+        img = tokens_to_nhwc(x, H, W)
+        img = nn.Conv(self.dim_out, (3, 3), strides=(2, 2),
+                      padding=((1, 1), (1, 1)), dtype=self.dtype,
+                      name="conv")(img)
+        if self.use_simam:
+            img = simam(img)
+        tokens = nhwc_to_tokens(img)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
+
+
+class CARAFE(nn.Module):
+    """Content-aware reassembly upsampler (ref :391-486).
+
+    One parameterised module replaces the reference's duplicated
+    CARAFE/CARAFE4 classes; ``up_factor`` covers both.  Kernel prediction is
+    two convs (1x1 compress to dim/4, KxK expand to S^2*K^2); reassembly is
+    :func:`cswin_simam_unet_tpu.ops.carafe.carafe_reassemble`.
+    """
+
+    dim_out: int
+    up_factor: int = 2
+    ksize: int = 3
+    use_simam: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+        B, L, C = x.shape
+        img = tokens_to_nhwc(x, H, W)
+        t = nn.Conv(C // 4, (1, 1), dtype=self.dtype, name="down")(img)
+        r = self.ksize // 2
+        enc = nn.Conv(self.up_factor ** 2 * self.ksize ** 2,
+                      (self.ksize, self.ksize), padding=((r, r), (r, r)),
+                      dtype=self.dtype, name="encoder")(t)
+        up = carafe_reassemble(img, enc, self.up_factor, self.ksize)
+        out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="out")(up)
+        if self.use_simam:
+            out = simam(out)
+        return nhwc_to_tokens(out)

@@ -1,0 +1,118 @@
+"""Checkpoint/resume via orbax: full training state, every epoch.
+
+The reference saves final weights only, once, after all 100 epochs
+(train_unet_segmentation.py:537) — a crash loses the run.  Here every epoch
+checkpoints params, optimizer state, batch stats, plateau-scheduler state,
+and the metric history; ``latest`` resume restores bit-identical training
+state, and the best-on-test-Dice checkpoint is tracked separately
+(SURVEY.md §5 checkpoint/resume plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cswin_simam_unet_tpu.train.schedule import ReduceLROnPlateau
+
+
+class CheckpointStore:
+    """Epoch-granular checkpoint manager with best-Dice tracking."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=None,
+                create=True,
+            ),
+        )
+        self._meta_path = os.path.join(self.directory, "meta.json")
+
+    def _read_meta(self) -> Dict:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {"best_dice": -1.0, "best_epoch": 0}
+
+    def _write_meta(self, meta: Dict) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def save_epoch(self, epoch: int, state, scheduler: ReduceLROnPlateau,
+                   history: Dict[str, list], test_dice: float) -> None:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        if state.batch_stats is not None:
+            payload["batch_stats"] = state.batch_stats
+        extra = {
+            "epoch": epoch,
+            "scheduler": scheduler.state_dict(),
+            "history": history,
+        }
+        self.manager.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                extra=ocp.args.JsonSave(extra),
+            ),
+        )
+        meta = self._read_meta()
+        if test_dice > meta.get("best_dice", -1.0):
+            meta["best_dice"] = float(test_dice)
+            meta["best_epoch"] = epoch
+            self._write_meta(meta)
+
+    def latest_epoch(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state, epoch: Optional[int] = None
+                ) -> Tuple[Any, ReduceLROnPlateau, Dict[str, list], int]:
+        """Restore (state, scheduler, history, epoch). ``state`` provides the
+        target pytree structure (from ``create_train_state``)."""
+        epoch = epoch if epoch is not None else self.manager.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        if state.batch_stats is not None:
+            template["batch_stats"] = state.batch_stats
+        restored = self.manager.restore(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                extra=ocp.args.JsonRestore(),
+            ),
+        )
+        payload = restored["state"]
+        extra = restored["extra"]
+        state = state.replace(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            step=int(payload["step"]),
+            batch_stats=payload.get("batch_stats", state.batch_stats),
+        )
+        scheduler = ReduceLROnPlateau(lr=0.0)
+        scheduler.load_state_dict(extra["scheduler"])
+        return state, scheduler, extra["history"], int(extra["epoch"])
+
+    def best_epoch(self) -> Tuple[int, float]:
+        meta = self._read_meta()
+        return meta.get("best_epoch", 0), meta.get("best_dice", -1.0)
+
+    def close(self) -> None:
+        self.manager.close()

@@ -1,0 +1,287 @@
+"""Jitted train/eval steps and the epoch-level fit loop.
+
+Parity targets: ``train_model`` / ``evaluate_model``
+(train_unet_segmentation.py:274-402, train_cswinunet_segmentation.py:711-841):
+per-epoch train pass with per-batch Dice/IoU, full test-set eval every epoch,
+ReduceLROnPlateau stepped on the **test** loss, a 7-series history dict, and
+uniform-over-batches metric averaging (the reference's partial-last-batch
+quirk, kept for parity).
+
+TPU-first differences: the whole hot path — uint8 -> float normalise ->
+augment -> forward -> loss -> backward -> optimizer -> metrics — is ONE
+jitted, donated computation per batch; only 4 scalars come back to host per
+step (loss/dice/iou + nothing else), so there is no per-batch D2H sync of
+tensors like the reference's ``loss.item()`` pattern (ref :359).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from cswin_simam_unet_tpu.data.augment import AugmentConfig, augment_batch
+from cswin_simam_unet_tpu.train.losses import segmentation_loss
+from cswin_simam_unet_tpu.train.metrics import (
+    dice_coefficient,
+    iou_score,
+    multiclass_dice,
+    threshold_predictions,
+)
+from cswin_simam_unet_tpu.train.schedule import ReduceLROnPlateau
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_optimizer(kind: str, learning_rate: float, weight_decay: float):
+    """Optimizers with torch-identical update rules, LR injectable so the
+    plateau scheduler can adjust it between epochs.
+
+    'adam'  — torch Adam with L2-coupled weight decay (grad += wd * p before
+              the moment updates), the UNet config (ref :486-500).
+    'adamw' — torch AdamW decoupled decay, the CSWin config (ref :937-951).
+    """
+    if kind == "adam":
+        def factory(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale(-learning_rate),
+            )
+    elif kind == "adamw":
+        def factory(learning_rate):
+            return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                               weight_decay=weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer: {kind}")
+    return optax.inject_hyperparams(factory)(learning_rate=learning_rate)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> None:
+    """Update the injected LR in-place (optax InjectHyperparamsState)."""
+    state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=state.opt_state.hyperparams["learning_rate"].dtype)
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def create_train_state(model, rng: jax.Array, input_shape,
+                       optimizer: str = "adam", learning_rate: float = 1e-3,
+                       weight_decay: float = 1e-4) -> TrainState:
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
+                           train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=make_optimizer(optimizer, learning_rate, weight_decay),
+    )
+
+
+def _prepare_batch(images_u8, masks_u8, n_classes: int):
+    images = images_u8.astype(jnp.float32) / 255.0
+    if n_classes == 1:
+        masks = masks_u8.astype(jnp.float32) / 255.0
+    else:
+        masks = masks_u8.astype(jnp.float32)  # class ids; augment bilinear-safe
+    return images, masks
+
+
+def _finalize_targets(masks, n_classes: int):
+    if n_classes == 1:
+        return masks
+    return jnp.round(masks[..., 0]).astype(jnp.int32)
+
+
+def _batch_metrics(logits, targets, n_classes: int):
+    if n_classes == 1:
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        preds = threshold_predictions(probs)
+        return dice_coefficient(preds, targets), iou_score(preds, targets)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(targets, n_classes, dtype=jnp.float32)
+    d = multiclass_dice(probs, onehot)
+    pred_onehot = jax.nn.one_hot(jnp.argmax(probs, -1), n_classes,
+                                 dtype=jnp.float32)
+    axes = tuple(range(pred_onehot.ndim - 1))
+    inter = jnp.sum(pred_onehot * onehot, axis=axes)
+    union = (jnp.sum(pred_onehot, axis=axes) + jnp.sum(onehot, axis=axes)
+             - inter)
+    iou = jnp.mean((inter + 1e-6) / (union + 1e-6))
+    return d, iou
+
+
+def make_train_step(model, n_classes: int = 1,
+                    augment: Optional[AugmentConfig] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step: (state, images_u8, masks_u8, rng) ->
+    (state, {'loss','dice','iou'})."""
+
+    def step(state: TrainState, images_u8, masks_u8, rng):
+        k_aug, k_drop = jax.random.split(rng)
+        images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
+        if augment is not None:
+            images, masks = augment_batch(k_aug, images, masks, augment)
+        targets = _finalize_targets(masks, n_classes)
+
+        use_bn = state.batch_stats is not None
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if use_bn:
+                variables["batch_stats"] = state.batch_stats
+                logits, updates = state.apply_fn(
+                    variables, images, train=True,
+                    rngs={"dropout": k_drop}, mutable=["batch_stats"])
+                new_bs = updates["batch_stats"]
+            else:
+                logits = state.apply_fn(variables, images, train=True,
+                                        rngs={"dropout": k_drop})
+                new_bs = None
+            loss = segmentation_loss(logits, targets, n_classes)
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if use_bn:
+            state = state.replace(batch_stats=new_bs)
+        dice, iou = _batch_metrics(jax.lax.stop_gradient(logits), targets,
+                                   n_classes)
+        return state, {"loss": loss, "dice": dice, "iou": iou}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, n_classes: int = 1) -> Callable:
+    """Build the jitted eval step: (state, images_u8, masks_u8) -> metrics."""
+
+    def step(state: TrainState, images_u8, masks_u8):
+        images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
+        targets = _finalize_targets(masks, n_classes)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits = state.apply_fn(variables, images, train=False)
+        loss = segmentation_loss(logits, targets, n_classes)
+        dice, iou = _batch_metrics(logits, targets, n_classes)
+        return {"loss": loss, "dice": dice, "iou": iou}
+
+    return jax.jit(step)
+
+
+def evaluate(eval_step: Callable, state: TrainState, loader) -> Dict[str, float]:
+    """Full-dataset eval; uniform mean over batches (ref :274-309)."""
+    sums = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
+    n = 0
+    for images, masks in loader:
+        m = eval_step(state, images, masks)
+        for k in sums:
+            sums[k] += float(m[k])
+        n += 1
+    if n == 0:
+        return {k: float("nan") for k in sums}
+    return {k: v / n for k, v in sums.items()}
+
+
+@dataclass
+class FitConfig:
+    num_epochs: int = 100
+    n_classes: int = 1
+    augment: Optional[AugmentConfig] = AugmentConfig()
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    plateau_min_lr: float = 1e-7
+    seed: int = 42
+    log_every: int = 0  # batches; 0 = epoch-level only
+    checkpoint_manager: Any = None  # train.checkpoint.CheckpointStore
+    verbose: bool = True
+
+
+def empty_history() -> Dict[str, list]:
+    return {k: [] for k in (
+        "train_loss", "train_dice", "train_iou",
+        "test_loss", "test_dice", "test_iou", "learning_rates")}
+
+
+def fit(model, state: TrainState, train_loader, test_loader,
+        cfg: FitConfig, history: Optional[Dict[str, list]] = None,
+        scheduler: Optional[ReduceLROnPlateau] = None,
+        start_epoch: int = 0):
+    """Epoch loop with reference-identical bookkeeping (ref :313-402).
+
+    Returns (state, history).  Supports resume via ``start_epoch`` +
+    pre-loaded ``history``/``scheduler``/``state`` (the reference loses the
+    whole run on a crash; SURVEY.md §5).
+    """
+    train_step = make_train_step(model, cfg.n_classes, cfg.augment)
+    eval_step = make_eval_step(model, cfg.n_classes)
+    if scheduler is None:
+        scheduler = ReduceLROnPlateau(
+            lr=get_learning_rate(state), factor=cfg.plateau_factor,
+            patience=cfg.plateau_patience, min_lr=cfg.plateau_min_lr)
+    history = history if history is not None else empty_history()
+    base_rng = jax.random.PRNGKey(cfg.seed)
+    global_step = 0
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        t0 = time.time()
+        sums = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
+        nb = 0
+        n_images = 0
+        for images, masks in train_loader:
+            rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + global_step)
+            state, m = train_step(state, images, masks, rng)
+            for k in sums:
+                sums[k] += float(m[k])
+            nb += 1
+            n_images += images.shape[0]
+            global_step += 1
+            if cfg.verbose and cfg.log_every and nb % cfg.log_every == 0:
+                print(f"  epoch {epoch + 1} batch {nb}: "
+                      f"loss {sums['loss'] / nb:.4f} "
+                      f"dice {sums['dice'] / nb:.4f} "
+                      f"iou {sums['iou'] / nb:.4f}")
+        train_metrics = {k: (v / nb if nb else float("nan"))
+                         for k, v in sums.items()}
+        test_metrics = evaluate(eval_step, state, test_loader)
+        lr = scheduler.step(test_metrics["loss"])
+        set_learning_rate(state, lr)
+
+        history["train_loss"].append(train_metrics["loss"])
+        history["train_dice"].append(train_metrics["dice"])
+        history["train_iou"].append(train_metrics["iou"])
+        history["test_loss"].append(test_metrics["loss"])
+        history["test_dice"].append(test_metrics["dice"])
+        history["test_iou"].append(test_metrics["iou"])
+        history["learning_rates"].append(lr)
+
+        dt = time.time() - t0
+        if cfg.verbose:
+            print(f"Epoch [{epoch + 1}/{cfg.num_epochs}]  "
+                  f"({dt:.1f}s, {n_images / max(dt, 1e-9):.1f} img/s)")
+            print(f"  Train - Loss: {train_metrics['loss']:.4f}, "
+                  f"Dice: {train_metrics['dice']:.4f}, "
+                  f"IoU: {train_metrics['iou']:.4f}")
+            print(f"  Test  - Loss: {test_metrics['loss']:.4f}, "
+                  f"Dice: {test_metrics['dice']:.4f}, "
+                  f"IoU: {test_metrics['iou']:.4f}")
+            print(f"  LR: {lr:.8f}")
+
+        if cfg.checkpoint_manager is not None:
+            cfg.checkpoint_manager.save_epoch(
+                epoch + 1, state, scheduler, history,
+                test_dice=test_metrics["dice"])
+
+    return state, history

@@ -1,0 +1,79 @@
+"""Metric artifacts: CSV, 2x2 PNG plot, console banners.
+
+Schema-compatible with the reference so downstream tooling keeps working:
+* CSV: 8 columns ``Epoch, Train_Loss, Train_Dice, Train_IoU, Test_Loss,
+  Test_Dice, Test_IoU, Learning_Rate``, 6-decimal fixed format (8 for LR),
+  utf-8 (train_unet_segmentation.py:597-616).
+* PNG: 2x2 grid — Loss / Dice / IoU (train blue, test red) + LR (log-y,
+  green), dpi 300 (train_unet_segmentation.py:550-594).
+"""
+
+from __future__ import annotations
+
+import csv
+from typing import Dict
+
+
+def save_metrics_to_csv(history: Dict[str, list], path: str) -> None:
+    epochs = len(history["train_loss"])
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["Epoch", "Train_Loss", "Train_Dice", "Train_IoU",
+                    "Test_Loss", "Test_Dice", "Test_IoU", "Learning_Rate"])
+        for i in range(epochs):
+            w.writerow([
+                i + 1,
+                f"{history['train_loss'][i]:.6f}",
+                f"{history['train_dice'][i]:.6f}",
+                f"{history['train_iou'][i]:.6f}",
+                f"{history['test_loss'][i]:.6f}",
+                f"{history['test_dice'][i]:.6f}",
+                f"{history['test_iou'][i]:.6f}",
+                f"{history['learning_rates'][i]:.8f}",
+            ])
+
+
+def plot_metrics(history: Dict[str, list], path: str, title: str = "") -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = range(1, len(history["train_loss"]) + 1)
+    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+    if title:
+        fig.suptitle(title)
+
+    panels = [
+        ("Loss", "train_loss", "test_loss"),
+        ("Dice Coefficient", "train_dice", "test_dice"),
+        ("IoU Score", "train_iou", "test_iou"),
+    ]
+    for ax, (name, tr, te) in zip(axes.flat, panels):
+        ax.plot(epochs, history[tr], "b-", label=f"Train {name}")
+        ax.plot(epochs, history[te], "r-", label=f"Test {name}")
+        ax.set_xlabel("Epoch")
+        ax.set_ylabel(name)
+        ax.set_title(f"Training and Test {name}")
+        ax.legend()
+        ax.grid(True)
+
+    ax = axes.flat[3]
+    ax.plot(epochs, history["learning_rates"], "g-", label="Learning Rate")
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Learning Rate")
+    ax.set_title("Learning Rate Schedule")
+    ax.set_yscale("log")
+    ax.legend()
+    ax.grid(True)
+
+    fig.tight_layout()
+    fig.savefig(path, dpi=300)
+    plt.close(fig)
+
+
+def config_banner(config: Dict) -> str:
+    lines = ["=" * 50, "Training configuration", "=" * 50]
+    for k, v in config.items():
+        lines.append(f"  {k}: {v}")
+    lines.append("=" * 50)
+    return "\n".join(lines)

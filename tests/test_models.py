@@ -1,0 +1,123 @@
+"""Model-level tests: shapes, parameter counts vs the reference, SimAM
+variants, geometry validation, gradient flow (SURVEY.md §4.1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cswin_simam_unet_tpu.models import UNet, CSWinUNet, validate_geometry
+from cswin_simam_unet_tpu.train import segmentation_loss
+
+
+def n_params(tree):
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+TINY_CSWIN = dict(img_size=64, embed_dim=16, depth=(1, 1, 2, 1),
+                  split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2))
+
+
+def test_unet_param_count_matches_reference():
+    # 31,043,521 params, verified by instantiating the reference
+    # (train_unet_segmentation.py:221-250; SURVEY.md §6)
+    m = UNet()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    assert n_params(v["params"]) == 31_043_521
+
+
+def test_cswin_param_count_matches_reference():
+    # 23,567,980 params, resolution-independent
+    # (train_cswinunet_segmentation.py:489-688; SURVEY.md §6)
+    m = CSWinUNet(img_size=224)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    assert n_params(v["params"]) == 23_567_980
+
+
+def test_unet_forward_shapes():
+    m = UNet(n_classes=1)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 64, 64, 1)
+    probs = m.predict(v, x)
+    assert np.all(np.asarray(probs) >= 0) and np.all(np.asarray(probs) <= 1)
+
+
+def test_unet_simam_variant_runs_and_is_param_free():
+    x = jnp.ones((1, 32, 32, 3))
+    v0 = UNet().init(jax.random.PRNGKey(0), x, train=False)
+    v1 = UNet(use_simam=True).init(jax.random.PRNGKey(0), x, train=False)
+    # SimAM adds no parameters
+    assert n_params(v0["params"]) == n_params(v1["params"])
+    out = UNet(use_simam=True).apply(v1, x, train=False)
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_cswin_tiny_forward_and_grad():
+    m = CSWinUNet(**TINY_CSWIN)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                    dtype=jnp.float32)
+    y = jnp.asarray((np.random.RandomState(1).rand(2, 64, 64, 1) > 0.5),
+                    dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 64, 64, 1)
+
+    def loss_fn(params):
+        logits = m.apply({"params": params}, x, train=False)
+        return segmentation_loss(logits, y)
+
+    loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # every parameter receives gradient signal somewhere
+    nonzero = sum(int(np.any(np.asarray(g) != 0)) for g in flat)
+    assert nonzero / len(flat) > 0.95
+
+
+def test_cswin_simam_variant_is_param_free():
+    x = jnp.ones((1, 64, 64, 3))
+    v0 = CSWinUNet(**TINY_CSWIN).init(jax.random.PRNGKey(0), x, train=False)
+    v1 = CSWinUNet(use_simam=True, **TINY_CSWIN).init(
+        jax.random.PRNGKey(0), x, train=False)
+    assert n_params(v0["params"]) == n_params(v1["params"])
+    out = CSWinUNet(use_simam=True, **TINY_CSWIN).apply(v1, x, train=False)
+    assert out.shape == (1, 64, 64, 1)
+
+
+def test_cswin_multiclass_head():
+    m = CSWinUNet(num_classes=4, **TINY_CSWIN)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    probs = m.predict(v, x)
+    assert probs.shape == (1, 64, 64, 4)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_geometry_validation():
+    # 512 with default splits must fail loudly (the reference crashes with an
+    # opaque view error instead — SURVEY.md §6)
+    with pytest.raises(ValueError, match="split_size"):
+        validate_geometry(512, (1, 2, 7, 7))
+    validate_geometry(512, (1, 2, 8, 8))
+    validate_geometry(448, (1, 2, 7, 7))
+    with pytest.raises(ValueError, match="divisible by 32"):
+        validate_geometry(100, (1, 2, 7, 7))
+
+
+def test_dropout_train_eval_modes():
+    m = CSWinUNet(drop_rate=0.3, attn_drop_rate=0.3, drop_path_rate=0.3,
+                  **TINY_CSWIN)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
+                    dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    # eval: deterministic, no rng needed
+    o1 = m.apply(v, x, train=False)
+    o2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    # train: stochastic across rng keys
+    t1 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))

@@ -108,7 +108,7 @@ CONFIGS = {
     "cswin_tiny_224": TrainRunConfig(
         name="cswin_tiny_224",
         model=_cswin_model(embed_dim=32, depth=(1, 2, 2, 1),
-                           split_size=(1, 2, 2, 7), num_heads=(1, 2, 4, 8)),
+                           split_size=(1, 2, 2, 7), num_heads=(2, 2, 4, 8)),
         image_size=224, batch_size=2, optimizer="adamw", learning_rate=1e-4,
         output_prefix="cswin_tiny_224"),
     # config 4: full CSWin-SimAM-UNet, 224^2, batch 8, on-device augmentation

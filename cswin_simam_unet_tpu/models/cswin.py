@@ -57,6 +57,26 @@ def validate_geometry(img_size: int, split_size: Sequence[int]) -> None:
                 f"split_size=[1,2,8,8]")
 
 
+def validate_heads(embed_dim: int, num_heads: Sequence[int]) -> None:
+    """Head counts must be even for the two-branch stages 1-3 (each branch
+    gets heads/2) and divide their stage dims."""
+    for i, h in enumerate(num_heads):
+        dim = embed_dim * 2 ** i
+        last = i == len(num_heads) - 1
+        if not last:
+            if h % 2:
+                raise ValueError(
+                    f"stage {i + 1} num_heads {h} must be even (two stripe "
+                    f"branches each take num_heads/2)")
+            if (dim // 2) % (h // 2):
+                raise ValueError(
+                    f"stage {i + 1}: branch dim {dim // 2} not divisible by "
+                    f"branch heads {h // 2}")
+        elif dim % h:
+            raise ValueError(
+                f"stage {i + 1}: dim {dim} not divisible by num_heads {h}")
+
+
 class CSWinUNet(nn.Module):
     """The full CSWin(-SimAM)-UNet (ref ``CSWinTransformer``, :489-688)."""
 
@@ -92,6 +112,7 @@ class CSWinUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         validate_geometry(self.img_size, self.split_size)
+        validate_heads(self.embed_dim, self.num_heads)
         deterministic = not train
         E = self.embed_dim
         depth = list(self.depth)

@@ -9,7 +9,7 @@ import os
 # NB: in this image the axon TPU plugin ignores JAX_PLATFORMS; the legacy
 # JAX_PLATFORM_NAME (and jax.config jax_platforms) do force CPU.
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # must OVERRIDE the image's axon default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,113 @@
+"""Distributed tests on the simulated 8-device CPU mesh (SURVEY.md §4.4):
+data-parallel equivalence with single-device training, tensor-parallel
+partition rules, and the driver's multi-chip dry run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cswin_simam_unet_tpu.models import UNet, CSWinUNet
+from cswin_simam_unet_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    params_shardings,
+    replicated,
+    shard_state,
+)
+from cswin_simam_unet_tpu.train.engine import create_train_state, make_train_step
+from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices")
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh((16,))
+
+
+def _batch(rs, b, size=16):
+    imgs = (rs.rand(b, size, size, 3) * 255).astype(np.uint8)
+    masks = (imgs[..., :1] > 128).astype(np.uint8) * 255
+    return imgs, masks
+
+
+def test_data_parallel_matches_single_device():
+    # same batch, same state: loss and updated params must agree whether the
+    # batch lives on 1 device or is sharded over 8 (XLA all-reduces grads).
+    model = UNet(base_features=4)
+    # tiny LR: a near-zero gradient summed in a different order can flip the
+    # sign of an Adam step; keep that FP noise (~2*lr) under the tolerance
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 3),
+                               "adam", 1e-6, 1e-4)
+    step = make_train_step(model, augment=None, donate=False)
+    rs = np.random.RandomState(0)
+    imgs, masks = _batch(rs, 8)
+
+    s1, m1 = step(state, jnp.asarray(imgs), jnp.asarray(masks),
+                  jax.random.PRNGKey(1))
+
+    mesh = make_mesh()
+    state_sh = shard_state(state, mesh)
+    bs = batch_sharding(mesh, 4)
+    imgs_sh = jax.device_put(imgs, bs)
+    masks_sh = jax.device_put(masks, bs)
+    rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+    s8, m8 = step(state_sh, imgs_sh, masks_sh, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_tensor_parallel_rules_applied():
+    model = CSWinUNet(img_size=64, embed_dim=16, depth=(1, 1, 1, 1),
+                      split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    ps = params_shardings(variables["params"], mesh)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): s
+            for path, s in jax.tree_util.tree_flatten_with_path(ps)[0]}
+    assert flat["stage1_0/qkv/kernel"].spec == P(None, "model")
+    assert flat["stage1_0/mlp/fc1/kernel"].spec == P(None, "model")
+    assert flat["stage1_0/mlp/fc2/kernel"].spec == P("model", None)
+    assert flat["stage1_0/proj/kernel"].spec == P("model", None)
+    # non-matching params replicated
+    assert flat["embed_conv/kernel"].spec == P()
+
+
+def test_tp_forward_matches_replicated():
+    # tensor-parallel sharded params must produce the same logits
+    model = CSWinUNet(img_size=64, embed_dim=16, depth=(1, 1, 1, 1),
+                      split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2))
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(4, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(model.apply(variables, x, train=False))
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    ps = params_shardings(variables["params"], mesh)
+    params_sh = jax.tree_util.tree_map(jax.device_put,
+                                       variables["params"], ps)
+    x_sh = jax.device_put(x, batch_sharding(mesh, 4))
+    got = np.asarray(jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, train=False))(
+        params_sh, x_sh))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,125 @@
+"""Headline benchmark: images/sec/chip, CSWin-SimAM-UNet 512^2 fwd+bwd.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Matches the BASELINE.json north-star metric: full training step (forward +
+backward + optimizer) at 512x512 on the flagship CSWin-SimAM-UNet
+(split [1,2,8,8] — the 512-capable geometry), bfloat16 compute / f32 params,
+donated jitted step, batch sharded over all available chips.
+
+``vs_baseline`` is the ratio to the measured PyTorch reference throughput in
+benchmarks/baseline_measured.json (the reference publishes no numbers;
+see benchmarks/measure_reference.py for how the denominator is produced and
+on which hardware — recorded in BASELINE.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-per-chip", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no-pallas", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cswin_simam_unet_tpu.models import CSWinUNet
+    from cswin_simam_unet_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_state,
+    )
+    from cswin_simam_unet_tpu.train.engine import (
+        create_train_state,
+        make_train_step,
+    )
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    img = args.image_size
+    batch = args.batch_per_chip * n_chips
+    use_pallas = (not args.no_pallas) and devices[0].platform == "tpu"
+    print(f"bench: {n_chips} x {devices[0].device_kind}, img {img}, "
+          f"global batch {batch}, dtype {args.dtype}, pallas={use_pallas}",
+          file=sys.stderr)
+
+    model = CSWinUNet(
+        img_size=img, use_simam=True, split_size=(1, 2, 8, 8),
+        num_classes=1, drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        use_pallas=use_pallas,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, img, img, 3), "adamw", 1e-4, 1e-4)
+
+    step = make_train_step(model, n_classes=1, augment=None, donate=True)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 256, (batch, img, img, 3), dtype=np.uint8)
+    masks = (rs.randint(0, 2, (batch, img, img, 1), dtype=np.uint8) * 255)
+
+    if n_chips > 1:
+        mesh = make_mesh((n_chips,), ("data",))
+        state = shard_state(state, mesh)
+        bs = batch_sharding(mesh, 4)
+        images = jax.device_put(images, bs)
+        masks = jax.device_put(masks, bs)
+        rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+    else:
+        images = jax.device_put(images)
+        masks = jax.device_put(masks)
+        rng = jax.random.PRNGKey(1)
+
+    t_compile = time.perf_counter()
+    for i in range(args.warmup):
+        state, metrics = step(state, images, masks, rng)
+    jax.block_until_ready(metrics["loss"])
+    print(f"warmup+compile: {time.perf_counter() - t_compile:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, images, masks, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    ips = batch * args.iters / dt
+    ips_per_chip = ips / n_chips
+    print(f"{ips:.2f} img/s total, {ips_per_chip:.2f} img/s/chip, "
+          f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
+
+    vs_baseline = 0.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_measured.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get("cswin_512_imgs_per_sec")
+        if ref:
+            vs_baseline = ips_per_chip / ref
+            print(f"reference ({base.get('hardware')}): {ref:.4f} img/s "
+                  f"-> vs_baseline {vs_baseline:.2f}x", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "CSWin-SimAM-UNet 512^2 fwd+bwd+step images/sec/chip",
+        "value": round(ips_per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,32 @@ class SegmentationDataSource:
     def __len__(self) -> int:
         return len(self.image_paths)
 
+    def mask_path(self, idx: int) -> Optional[str]:
+        name = os.path.basename(self.image_paths[idx])
+        path = os.path.join(self.mask_dir, name)
+        return path if os.path.exists(path) else None
+
+    def load_batch(self, indices) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Native threaded batch load (C++ decode+resize straight into the
+        batch buffer); None if the native library is unavailable or any
+        image fails to decode natively (caller falls back per-sample)."""
+        from cswin_simam_unet_tpu.data import native_loader
+        if not native_loader.available():
+            return None
+        img_paths = [self.image_paths[i] for i in indices]
+        mask_paths = [self.mask_path(i) for i in indices]
+        out = native_loader.load_batch(img_paths, mask_paths,
+                                       self.image_size)
+        if out is None:
+            return None
+        images, masks, status = out
+        if np.any(status == 1):  # undecodable image -> per-sample fallback
+            return None
+        for i in np.nonzero(status == 2)[0]:
+            warnings.warn(f"no/bad mask for "
+                          f"{os.path.basename(img_paths[i])}; using empty mask")
+        return images, masks
+
     def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         img_path = self.image_paths[idx]
         with open(img_path, "rb") as f:

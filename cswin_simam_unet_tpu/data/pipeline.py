@@ -35,7 +35,8 @@ class DataLoader:
                  batch_size: int = 4, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 0,
                  drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 use_native: bool = True):
         self.source = source
         self.indices = np.asarray(
             indices if indices is not None else np.arange(len(source)))
@@ -45,6 +46,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.use_native = use_native
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -77,6 +79,10 @@ class DataLoader:
             pending = collections.deque()
 
             def assemble(idx_batch):
+                if self.use_native:
+                    native = self.source.load_batch(idx_batch)
+                    if native is not None:
+                        return native
                 samples = list(decode_pool.map(self.source.load, idx_batch))
                 images = np.stack([s[0] for s in samples])
                 masks = np.stack([s[1] for s in samples])

@@ -36,6 +36,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # persistent compilation cache: first run pays full compile, reruns are
+    # seconds — essential when driving the TPU through the tunnel
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cswin_simam_unet_tpu.models import CSWinUNet
@@ -91,14 +97,21 @@ def main():
     print(f"warmup+compile: {time.perf_counter() - t_compile:.1f}s",
           file=sys.stderr)
 
-    t0 = time.perf_counter()
+    # per-step forced sync + median: async chains + the tunneled TPU's
+    # run-to-run variance make end-to-end averages unreliable
+    times = []
     for i in range(args.iters):
+        t0 = time.perf_counter()
         state, metrics = step(state, images, masks, rng)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    ips = batch * args.iters / dt
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    ips = batch / med
     ips_per_chip = ips / n_chips
-    print(f"{ips:.2f} img/s total, {ips_per_chip:.2f} img/s/chip, "
+    print(f"step time median {med * 1e3:.1f} ms "
+          f"(p10 {np.percentile(times, 10) * 1e3:.1f} / "
+          f"p90 {np.percentile(times, 90) * 1e3:.1f}); "
+          f"{ips:.2f} img/s total, {ips_per_chip:.2f} img/s/chip, "
           f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
 
     vs_baseline = 0.0
@@ -114,7 +127,7 @@ def main():
                   f"-> vs_baseline {vs_baseline:.2f}x", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "CSWin-SimAM-UNet 512^2 fwd+bwd+step images/sec/chip",
+        "metric": f"CSWin-SimAM-UNet {img}^2 fwd+bwd+step images/sec/chip",
         "value": round(ips_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),

@@ -97,22 +97,28 @@ def main():
     print(f"warmup+compile: {time.perf_counter() - t_compile:.1f}s",
           file=sys.stderr)
 
-    # per-step forced sync + median: async chains + the tunneled TPU's
-    # run-to-run variance make end-to-end averages unreliable
-    times = []
-    for i in range(args.iters):
+    # Timing note: through the axon remote-TPU tunnel, block_until_ready can
+    # return before execution completes — only a VALUE FETCH is a hard sync.
+    # Slope method: time N1 and N2 step-chains each ended by a loss fetch;
+    # (t2 - t1) / (N2 - N1) cancels the fetch overhead.
+    def run_chain(n, state):
         t0 = time.perf_counter()
-        state, metrics = step(state, images, masks, rng)
-        jax.block_until_ready(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    ips = batch / med
+        metrics = None
+        for _ in range(n):
+            state, metrics = step(state, images, masks, rng)
+        loss = float(metrics["loss"])  # hard sync
+        return time.perf_counter() - t0, state, loss
+
+    n1 = max(2, args.iters // 5)
+    n2 = args.iters
+    t1, state, _ = run_chain(n1, state)
+    t2, state, loss = run_chain(n2, state)
+    per_step = (t2 - t1) / (n2 - n1)
+    ips = batch / per_step
     ips_per_chip = ips / n_chips
-    print(f"step time median {med * 1e3:.1f} ms "
-          f"(p10 {np.percentile(times, 10) * 1e3:.1f} / "
-          f"p90 {np.percentile(times, 90) * 1e3:.1f}); "
+    print(f"step time {per_step * 1e3:.1f} ms (slope over {n2}-{n1} steps); "
           f"{ips:.2f} img/s total, {ips_per_chip:.2f} img/s/chip, "
-          f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
+          f"loss={loss:.4f}", file=sys.stderr)
 
     vs_baseline = 0.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -95,6 +95,7 @@ class CSWinUNet(nn.Module):
     drop_path_rate: float = 0.0
     use_simam: bool = False
     use_pallas: bool = False
+    remat: bool = False  # rematerialise each CSWinBlock in backward
     dtype: Dtype = jnp.float32
 
     def _block_kw(self, stage: int, reso: int, dpr: float,
@@ -113,6 +114,9 @@ class CSWinUNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         validate_geometry(self.img_size, self.split_size)
         validate_heads(self.embed_dim, self.num_heads)
+        # trade FLOPs for HBM: recompute block activations in backward
+        Block = (nn.remat(CSWinBlock, static_argnums=(2,)) if self.remat
+                 else CSWinBlock)
         deterministic = not train
         E = self.embed_dim
         depth = list(self.depth)
@@ -139,7 +143,7 @@ class CSWinUNet(nn.Module):
         for s in range(4):
             last = s == 3
             for i in range(depth[s]):
-                tokens = CSWinBlock(
+                tokens = Block(
                     name=f"stage{s + 1}_{i}",
                     **self._block_kw(s, resos[s], dpr[starts[s] + i], last),
                 )(tokens, deterministic)
@@ -152,7 +156,7 @@ class CSWinUNet(nn.Module):
 
         # ---- decoder (ref :653-672) ----
         for i in range(depth[3]):
-            tokens = CSWinBlock(
+            tokens = Block(
                 name=f"stage_up4_{i}",
                 **self._block_kw(3, resos[3], dpr[starts[3] + i], True),
             )(tokens, deterministic)
@@ -165,7 +169,7 @@ class CSWinUNet(nn.Module):
             tokens = nn.Dense(dim, kernel_init=dense_init, dtype=self.dtype,
                               name=f"concat_linear{s + 2}")(tokens)
             for i in range(depth[s]):
-                tokens = CSWinBlock(
+                tokens = Block(
                     name=f"stage_up{s + 1}_{i}",
                     **self._block_kw(s, resos[s], dpr[starts[s] + i]),
                 )(tokens, deterministic)

@@ -93,7 +93,7 @@ def main():
     t_compile = time.perf_counter()
     for i in range(args.warmup):
         state, metrics = step(state, images, masks, rng)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # hard sync (block_until_ready lies, see below)
     print(f"warmup+compile: {time.perf_counter() - t_compile:.1f}s",
           file=sys.stderr)
 

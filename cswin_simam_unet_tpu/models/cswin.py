@@ -163,6 +163,7 @@ class CSWinUNet(nn.Module):
         for s in (2, 1, 0):
             dim = E * 2 ** s
             tokens = CARAFE(dim, up_factor=2, use_simam=self.use_simam,
+                            use_pallas=self.use_pallas,
                             dtype=self.dtype, name=f"upsample{s + 2}")(
                 tokens, resos[s + 1], resos[s + 1])
             tokens = jnp.concatenate([skips[s], tokens], axis=-1)  # skip first (ref :657)
@@ -178,6 +179,7 @@ class CSWinUNet(nn.Module):
 
         # ---- final 4x CARAFE + 1x1 bias-free head (ref :674-682) ----
         tokens = CARAFE(E, up_factor=4, use_simam=self.use_simam,
+                        use_pallas=self.use_pallas,
                         dtype=self.dtype, name="upsample1")(
             tokens, resos[0], resos[0])
         img = tokens_to_nhwc(tokens, self.img_size, self.img_size)

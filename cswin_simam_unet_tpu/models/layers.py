@@ -221,6 +221,7 @@ class CARAFE(nn.Module):
     up_factor: int = 2
     ksize: int = 3
     use_simam: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -232,7 +233,14 @@ class CARAFE(nn.Module):
         enc = nn.Conv(self.up_factor ** 2 * self.ksize ** 2,
                       (self.ksize, self.ksize), padding=((r, r), (r, r)),
                       dtype=self.dtype, name="encoder")(t)
-        up = carafe_reassemble(img, enc, self.up_factor, self.ksize)
+        if self.use_pallas and self.ksize == 3:
+            from cswin_simam_unet_tpu.ops.pallas_carafe import (
+                carafe_reassemble_pallas,
+            )
+            up = carafe_reassemble_pallas(img, enc, self.up_factor,
+                                          self.ksize)
+        else:
+            up = carafe_reassemble(img, enc, self.up_factor, self.ksize)
         out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="out")(up)
         if self.use_simam:
             out = simam(out)

@@ -1,0 +1,270 @@
+"""Fused Pallas TPU kernel for CARAFE content-aware reassembly.
+
+The XLA formulation (:func:`cswin_simam_unet_tpu.ops.carafe.carafe_reassemble`)
+is correct but bandwidth-bound: the 9-tap accumulation chain materialises an
+output-sized f32 buffer repeatedly (measured 67-76 ms fwd+bwd for the final
+4x CARAFE at 512^2 batch 16 — ~30% of the whole training step).  These
+kernels read x and enc once per row tile, do softmax + 9 shifted FMAs
+entirely in VMEM, and write each tile once; the exact backward (softmax VJP
++ tap scatter re-expressed as a gather) runs as a second kernel.
+
+Layout contract: x (B, H, W, C), enc (B, H, W, K^2*S^2) with channel index
+``k*S^2 + s`` (reference pixel-shuffle order).  The kernels produce/consume
+the *pre-shuffle* (B, H, W, S^2*C) layout; the final pixel-shuffle transpose
+(one fused XLA pass) happens outside — Mosaic only supports 2D-friendly
+transposes in-kernel.
+
+Grid is (B, H // TH) row tiles.  The 1-row halo is realised by passing the
+row-tiled operands three times with index maps clamped at the image edges
+(the duplicated edge rows are masked to zero in-kernel).  All accumulation
+goes through f32 VMEM scratch refs — long unrolled SSA accumulation chains
+blow up Mosaic's scoped-vmem accounting.
+
+Mosaic-layout rules honoured here: no integer indexing into >2D values (use
+static channel slices of flat layouts), no reshapes that split/merge an
+unaligned lane dim, dynamic slicing only through refs.
+
+Assumes ksize == 3 (the model's only configuration).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+
+def _row_tile(H: int, W: int, C: int, S: int) -> int:
+    """Pick TH so per-tile VMEM stays a few MB."""
+    budget = 8 * 1024 * 1024
+    per_row = W * (S * S * C + 9 * S * S) * 4 * 2
+    for th in (8, 4, 2, 1):
+        if H % th == 0 and (th + 2) * per_row <= budget:
+            return th
+    return 1
+
+
+def _softmax_taps(enc_tile, K2, S2):
+    """enc (R, W, K2*S2) -> tap-softmaxed probs, same FLAT layout (f32)."""
+    e = enc_tile.astype(jnp.float32)
+    sl = [e[:, :, k * S2:(k + 1) * S2] for k in range(K2)]
+    m = sl[0]
+    for t in sl[1:]:
+        m = jnp.maximum(m, t)
+    ex = [jnp.exp(t - m) for t in sl]
+    denom = ex[0]
+    for t in ex[1:]:
+        denom = denom + t
+    return jnp.concatenate([t / denom for t in ex], axis=-1)
+
+
+def _shift_cols(x, dx: int):
+    """Shift a (..., W, C) array by dx columns with zero fill (dx in -1,0,1)."""
+    if dx == 0:
+        return x
+    zeros = jnp.zeros_like(x[..., :1, :])
+    if dx == 1:  # tap to the right: out(w) = x(w+1)
+        return jnp.concatenate([x[..., 1:, :], zeros], axis=-2)
+    return jnp.concatenate([zeros, x[..., :-1, :]], axis=-2)
+
+
+def _row_ext(prev_ref, cur_ref, next_ref, i, ni, dtype=jnp.float32):
+    """(TH+2, W, X) extended rows from prev/cur/next row-tile blocks; the
+    halo rows are zeroed at the image edges (block indices clamp there)."""
+    top = prev_ref[0, -1:].astype(dtype)
+    bot = next_ref[0, :1].astype(dtype)
+    top = jnp.where(i == 0, 0.0, top)
+    bot = jnp.where(i == ni - 1, 0.0, bot)
+    return jnp.concatenate([top, cur_ref[0].astype(dtype), bot], axis=0)
+
+
+def _taps(x_ext, TH):
+    """The 9 shifted (TH, W, C) tap slabs of a (TH+2, W, C) extended tile."""
+    out = []
+    for dy in (-1, 0, 1):
+        rows = x_ext[1 + dy:1 + dy + TH]
+        for dx in (-1, 0, 1):
+            out.append(_shift_cols(rows, dx))
+    return out
+
+
+def _fwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, o_ref, *,
+                S: int, TH: int, W: int, C: int):
+    K2, S2 = 9, S * S
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    p = _softmax_taps(enc_ref[0], K2, S2)             # (TH, W, 9*S2) flat
+    x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C) f32
+    xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
+
+    # s-outer / k-inner with SSA register accumulation: one live accumulator,
+    # each output slot written exactly once
+    for s in range(S2):
+        acc = p[:, :, s:s + 1] * xk[0]
+        for k in range(1, K2):
+            acc = acc + p[:, :, k * S2 + s:k * S2 + s + 1] * xk[k]
+        o_ref[0, :, :, s * C:(s + 1) * C] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
+                da_ref, dap_ref, dan_ref, dx_ref, denc_ref, *,
+                S: int, TH: int, W: int, C: int):
+    K2, S2 = 9, S * S
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    p = _softmax_taps(enc_ref[0], K2, S2)             # (TH, W, 9*S2)
+    x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C) f32
+    xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
+    dacc_s = [da_ref[0, :, :, s * C:(s + 1) * C].astype(jnp.float32)
+              for s in range(S2)]
+
+    # ---- denc: softmax VJP over taps (local rows) ----
+    # dp_k(r,w,s) = sum_c dacc(r,w,s,c) * xk(r,w,c); SSA throughout
+    dp = []  # K2 entries of (TH, W, S2)
+    for k in range(K2):
+        cols = [jnp.sum(dacc_s[s] * xk[k], axis=-1, keepdims=True)
+                for s in range(S2)]
+        dp.append(jnp.concatenate(cols, axis=-1))
+    inner = dp[0] * p[:, :, 0:S2]
+    for k in range(1, K2):
+        inner = inner + dp[k] * p[:, :, k * S2:(k + 1) * S2]
+    denc = jnp.concatenate(
+        [p[:, :, k * S2:(k + 1) * S2] * (dp[k] - inner) for k in range(K2)],
+        axis=-1)
+    denc_ref[0] = denc.astype(denc_ref.dtype)
+
+    # ---- dx: gather over the 1-row halo ----
+    # dx(r,w,c) = sum_k q_k(r - Dy, w - Dx, c),
+    #   q_k(r,w,c) = sum_s p_k(r,w,s) * dacc(r,w,s,c)
+    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni)
+    p_ext = _softmax_taps(p_ext, K2, S2)          # (TH+2, W, 9*S2)
+    # NB: softmax over already-extended logits; halo rows are all-zero
+    # logits -> uniform probs, but their dacc is zero so they contribute 0.
+    dacc_ext = _row_ext(dap_ref, da_ref, dan_ref, i, ni)  # (TH+2, W, S2*C)
+
+    dx = None
+    k = 0
+    for dy in (-1, 0, 1):
+        # q rows needed: r - dy for local r -> ext rows (1 - dy) .. (TH - dy)
+        p_rows = p_ext[1 - dy:1 - dy + TH]
+        dacc_rows = dacc_ext[1 - dy:1 - dy + TH]
+        for dx_ in (-1, 0, 1):
+            base = k * S2
+            q = (p_rows[:, :, base:base + 1] * dacc_rows[:, :, 0:C])
+            for s in range(1, S2):
+                q = q + (p_rows[:, :, base + s:base + s + 1]
+                         * dacc_rows[:, :, s * C:(s + 1) * C])
+            # out(w') consumed x at w'+dx_, so dx(w) += q(w - dx_)
+            contrib = _shift_cols(q, -dx_)
+            dx = contrib if dx is None else dx + contrib
+            k += 1
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _pixel_shuffle(arr, S):
+    """(B, H, W, S^2*C) -> (B, H*S, W*S, C); s-major channel order."""
+    B, H, W, SC = arr.shape
+    C = SC // (S * S)
+    out = arr.reshape(B, H, W, S, S, C).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(B, H * S, W * S, C)
+
+
+def _pixel_unshuffle(arr, S):
+    """(B, H*S, W*S, C) -> (B, H, W, S^2*C)."""
+    B, HS, WS, C = arr.shape
+    H, W = HS // S, WS // S
+    out = arr.reshape(B, H, S, W, S, C).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(B, H, W, S * S * C)
+
+
+def _tiled_specs(TH, W, CH, nR):
+    """(cur, prev, next) row-tile specs with edge-clamped neighbour maps."""
+    cur = pl.BlockSpec((1, TH, W, CH), lambda b, i: (b, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec((1, TH, W, CH),
+                        lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                        memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, TH, W, CH),
+                       lambda b, i: (b, jnp.minimum(i + 1, nR - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    return cur, prev, nxt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def carafe_reassemble_pallas(x, enc, up_factor: int, ksize: int = 3):
+    """Fused CARAFE reassembly; drop-in for
+    :func:`cswin_simam_unet_tpu.ops.carafe.carafe_reassemble` (ksize 3)."""
+    return _carafe_fwd_impl(x, enc, up_factor, ksize)
+
+
+def _carafe_fwd_impl(x, enc, up_factor, ksize):
+    assert ksize == 3, "pallas CARAFE kernel supports ksize=3"
+    B, H, W, C = x.shape
+    S = up_factor
+    TH = _row_tile(H, W, C, S)
+    nR = H // TH
+    K2S2 = 9 * S * S
+    x_cur, x_prev, x_next = _tiled_specs(TH, W, C, nR)
+    enc_cur, _, _ = _tiled_specs(TH, W, K2S2, nR)
+    acc_cur, _, _ = _tiled_specs(TH, W, S * S * C, nR)
+    kernel = functools.partial(_fwd_kernel, S=S, TH=TH, W=W, C=C)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(B, nR),
+        in_specs=[x_prev, x_cur, x_next, enc_cur],
+        out_specs=acc_cur,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, S * S * C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * H * W * S * S * C,
+            transcendentals=B * H * W * 9 * S * S,
+            bytes_accessed=(x.size + enc.size + B * H * W * S * S * C) * 2),
+        interpret=_INTERPRET,
+    )(x, x, x, enc)
+    return _pixel_shuffle(acc, S)
+
+
+def _carafe_fwd(x, enc, up_factor, ksize):
+    return _carafe_fwd_impl(x, enc, up_factor, ksize), (x, enc)
+
+
+def _carafe_bwd(up_factor, ksize, residuals, dout):
+    x, enc = residuals
+    B, H, W, C = x.shape
+    S = up_factor
+    TH = _row_tile(H, W, C, S)
+    nR = H // TH
+    K2S2 = 9 * S * S
+    x_cur, x_prev, x_next = _tiled_specs(TH, W, C, nR)
+    enc_cur, enc_prev, enc_next = _tiled_specs(TH, W, K2S2, nR)
+    da_cur, da_prev, da_next = _tiled_specs(TH, W, S * S * C, nR)
+    dacc = _pixel_unshuffle(dout, S)  # (B, H, W, S^2*C)
+    kernel = functools.partial(_bwd_kernel, S=S, TH=TH, W=W, C=C)
+    dx, denc = pl.pallas_call(
+        kernel,
+        grid=(B, nR),
+        in_specs=[x_prev, x_cur, x_next, enc_cur, enc_prev, enc_next,
+                  da_cur, da_prev, da_next],
+        out_specs=[x_cur, enc_cur],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(enc.shape, enc.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 9 * B * H * W * S * S * C,
+            transcendentals=3 * B * H * W * 9 * S * S,
+            bytes_accessed=(x.size + 2 * enc.size
+                            + 2 * B * H * W * S * S * C) * 2),
+        interpret=_INTERPRET,
+    )(x, x, x, enc, enc, enc, dacc, dacc, dacc)
+    return dx, denc
+
+
+carafe_reassemble_pallas.defvjp(_carafe_fwd, _carafe_bwd)

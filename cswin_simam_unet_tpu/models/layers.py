@@ -103,8 +103,8 @@ class LePEAttention(nn.Module):
         if self.attn_drop > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
         if self.use_pallas:
-            from cswin_simam_unet_tpu.ops.pallas_attention import (
-                stripe_attention_pallas,
+            from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
+                stripe_attention_pallas_v2 as stripe_attention_pallas,
             )
             out = stripe_attention_pallas(
                 q, k, v, kernel.astype(self.dtype),

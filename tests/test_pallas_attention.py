@@ -15,10 +15,12 @@ from cswin_simam_unet_tpu.ops.windows import stripe_geometry
 
 @pytest.fixture(autouse=True)
 def interpret_mode():
-    old = pa._INTERPRET
-    pa._INTERPRET = True
+    import cswin_simam_unet_tpu.ops.pallas_attention_v2 as pa2
+    import cswin_simam_unet_tpu.ops.pallas_carafe as pc
+    olds = (pa._INTERPRET, pa2._INTERPRET, pc._INTERPRET)
+    pa._INTERPRET = pa2._INTERPRET = pc._INTERPRET = True
     yield
-    pa._INTERPRET = old
+    pa._INTERPRET, pa2._INTERPRET, pc._INTERPRET = olds
 
 
 def _rand(shape, seed):

@@ -178,6 +178,22 @@ class CSWinUNet(nn.Module):
                               name="norm_up")(tokens)
 
         # ---- final 4x CARAFE + 1x1 bias-free head (ref :674-682) ----
+        if self.use_pallas:
+            # flat-head fast path: CARAFE output stays in pre-pixel-shuffle
+            # layout (free spatial scramble); only the tiny logits tensor is
+            # unscrambled at the very end
+            flat = CARAFE(E, up_factor=4, use_simam=self.use_simam,
+                          use_pallas=True, flat_output=True,
+                          dtype=self.dtype, name="upsample1")(
+                tokens, resos[0], resos[0])
+            logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                             dtype=self.dtype, name="output")(flat)
+            B = logits.shape[0]
+            r0, S = resos[0], 4
+            logits = logits.reshape(B, r0, r0, S, S, self.num_classes)
+            logits = logits.transpose(0, 1, 3, 2, 4, 5)
+            return logits.reshape(B, self.img_size, self.img_size,
+                                  self.num_classes)
         tokens = CARAFE(E, up_factor=4, use_simam=self.use_simam,
                         use_pallas=self.use_pallas,
                         dtype=self.dtype, name="upsample1")(

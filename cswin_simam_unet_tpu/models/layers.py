@@ -222,25 +222,42 @@ class CARAFE(nn.Module):
     ksize: int = 3
     use_simam: bool = False
     use_pallas: bool = False
+    flat_output: bool = False  # return the pre-pixel-shuffle "scrambled" map
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
         B, L, C = x.shape
+        S = self.up_factor
         img = tokens_to_nhwc(x, H, W)
         t = nn.Conv(C // 4, (1, 1), dtype=self.dtype, name="down")(img)
         r = self.ksize // 2
-        enc = nn.Conv(self.up_factor ** 2 * self.ksize ** 2,
+        enc = nn.Conv(S ** 2 * self.ksize ** 2,
                       (self.ksize, self.ksize), padding=((r, r), (r, r)),
                       dtype=self.dtype, name="encoder")(t)
         if self.use_pallas and self.ksize == 3:
             from cswin_simam_unet_tpu.ops.pallas_carafe import (
+                carafe_flat_pallas,
                 carafe_reassemble_pallas,
             )
-            up = carafe_reassemble_pallas(img, enc, self.up_factor,
-                                          self.ksize)
+            if self.flat_output:
+                # Stay in pre-pixel-shuffle layout: the free reshape
+                # (B,H,W,S^2*C) -> (B,H,W*S^2,C) (no data movement) presents
+                # the same channel vectors under a spatial scramble — 1x1
+                # convs and SimAM's global spatial statistics are exactly
+                # invariant to it, so the expensive full-resolution
+                # pixel-shuffle transpose is skipped entirely.  The caller
+                # unscrambles the (tiny) final logits tensor instead.
+                up = carafe_flat_pallas(img, enc, S, self.ksize)
+                up = up.reshape(B, H, W * S * S, C)
+                out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
+                              name="out")(up)
+                if self.use_simam:
+                    out = simam(out)
+                return out  # (B, H, W*S^2, dim_out), sub-pixel-major
+            up = carafe_reassemble_pallas(img, enc, S, self.ksize)
         else:
-            up = carafe_reassemble(img, enc, self.up_factor, self.ksize)
+            up = carafe_reassemble(img, enc, S, self.ksize)
         out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="out")(up)
         if self.use_simam:
             out = simam(out)

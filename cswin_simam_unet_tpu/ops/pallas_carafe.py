@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -93,6 +94,19 @@ def _taps(x_ext, TH):
     return out
 
 
+def _expand_s(p_k, C: int):
+    """(R, W, S2) -> (R, W, S2*C): each s value repeated across its C-lane
+    slot (s-major), via pltpu.repeat (jnp.repeat in interpret mode)."""
+    if _INTERPRET:
+        return jnp.repeat(p_k, C, axis=-1)
+    return pltpu.repeat(p_k, C, axis=p_k.ndim - 1)
+
+
+def _tile_c(xk, S2: int):
+    """(R, W, C) -> (R, W, S2*C): the C-lane vector tiled S2 times."""
+    return jnp.concatenate([xk] * S2, axis=-1)
+
+
 def _fwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, o_ref, *,
                 S: int, TH: int, W: int, C: int):
     K2, S2 = 9, S * S
@@ -102,13 +116,14 @@ def _fwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, o_ref, *,
     x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C) f32
     xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
 
-    # s-outer / k-inner with SSA register accumulation: one live accumulator,
-    # each output slot written exactly once
-    for s in range(S2):
-        acc = p[:, :, s:s + 1] * xk[0]
-        for k in range(1, K2):
-            acc = acc + p[:, :, k * S2 + s:k * S2 + s + 1] * xk[k]
-        o_ref[0, :, :, s * C:(s + 1) * C] = acc.astype(o_ref.dtype)
+    # lane-tiled accumulation: per tap ONE wide FMA over all S2 slots
+    # (acc lane s*C + c  +=  p[k, s] * x_k[c])
+    acc = None
+    for k in range(K2):
+        pk = _expand_s(p[:, :, k * S2:(k + 1) * S2], C)  # (TH, W, S2*C)
+        term = pk * _tile_c(xk[k], S2)
+        acc = term if acc is None else acc + term
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
@@ -121,16 +136,22 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     p = _softmax_taps(enc_ref[0], K2, S2)             # (TH, W, 9*S2)
     x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C) f32
     xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
-    dacc_s = [da_ref[0, :, :, s * C:(s + 1) * C].astype(jnp.float32)
-              for s in range(S2)]
+    da = da_ref[0].astype(jnp.float32)                # (TH, W, S2*C)
 
     # ---- denc: softmax VJP over taps (local rows) ----
-    # dp_k(r,w,s) = sum_c dacc(r,w,s,c) * xk(r,w,c); SSA throughout
+    # dp_k(r,w,s) = sum_c dacc(r,w,s,c) * xk(r,w,c).  The per-(k,s) lane
+    # reductions are the VPU-killer; instead reduce all S2 slots at once on
+    # the MXU against a (S2*C, S2) block-indicator matrix.
+    ind = (lax.broadcasted_iota(jnp.int32, (S2 * C, S2), 0) // C
+           == lax.broadcasted_iota(jnp.int32, (S2 * C, S2), 1)
+           ).astype(jnp.float32)
+    da2 = da.reshape(TH * W, S2 * C)
     dp = []  # K2 entries of (TH, W, S2)
     for k in range(K2):
-        cols = [jnp.sum(dacc_s[s] * xk[k], axis=-1, keepdims=True)
-                for s in range(S2)]
-        dp.append(jnp.concatenate(cols, axis=-1))
+        t = da2 * _tile_c(xk[k], S2).reshape(TH * W, S2 * C)
+        dpk = lax.dot_general(t, ind, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        dp.append(dpk.reshape(TH, W, S2))
     inner = dp[0] * p[:, :, 0:S2]
     for k in range(1, K2):
         inner = inner + dp[k] * p[:, :, k * S2:(k + 1) * S2]
@@ -197,10 +218,20 @@ def _tiled_specs(TH, W, CH, nR):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def carafe_flat_pallas(x, enc, up_factor: int, ksize: int = 3):
+    """Fused CARAFE reassembly in *pre-pixel-shuffle* layout: returns
+    (B, H, W, S^2*C) with lane slot s*C + c = sub-pixel s of channel c.
+    Consumers that commute with pixel-shuffle (1x1 convs as S^2-grouped
+    tiled convs, SimAM via :func:`ops.simam.simam_flat`) can stay in this
+    layout and skip the expensive full-resolution transpose entirely."""
+    return _carafe_fwd_impl(x, enc, up_factor, ksize)
+
+
 def carafe_reassemble_pallas(x, enc, up_factor: int, ksize: int = 3):
     """Fused CARAFE reassembly; drop-in for
     :func:`cswin_simam_unet_tpu.ops.carafe.carafe_reassemble` (ksize 3)."""
-    return _carafe_fwd_impl(x, enc, up_factor, ksize)
+    return _pixel_shuffle(carafe_flat_pallas(x, enc, up_factor, ksize),
+                          up_factor)
 
 
 def _carafe_fwd_impl(x, enc, up_factor, ksize):
@@ -228,14 +259,15 @@ def _carafe_fwd_impl(x, enc, up_factor, ksize):
             bytes_accessed=(x.size + enc.size + B * H * W * S * S * C) * 2),
         interpret=_INTERPRET,
     )(x, x, x, enc)
-    return _pixel_shuffle(acc, S)
+    return acc
 
 
 def _carafe_fwd(x, enc, up_factor, ksize):
     return _carafe_fwd_impl(x, enc, up_factor, ksize), (x, enc)
 
 
-def _carafe_bwd(up_factor, ksize, residuals, dout):
+def _carafe_bwd(up_factor, ksize, residuals, dacc):
+    # NB: cotangent arrives in the flat pre-shuffle layout
     x, enc = residuals
     B, H, W, C = x.shape
     S = up_factor
@@ -245,7 +277,6 @@ def _carafe_bwd(up_factor, ksize, residuals, dout):
     x_cur, x_prev, x_next = _tiled_specs(TH, W, C, nR)
     enc_cur, enc_prev, enc_next = _tiled_specs(TH, W, K2S2, nR)
     da_cur, da_prev, da_next = _tiled_specs(TH, W, S * S * C, nR)
-    dacc = _pixel_unshuffle(dout, S)  # (B, H, W, S^2*C)
     kernel = functools.partial(_bwd_kernel, S=S, TH=TH, W=W, C=C)
     dx, denc = pl.pallas_call(
         kernel,
@@ -267,4 +298,4 @@ def _carafe_bwd(up_factor, ksize, residuals, dout):
     return dx, denc
 
 
-carafe_reassemble_pallas.defvjp(_carafe_fwd, _carafe_bwd)
+carafe_flat_pallas.defvjp(_carafe_fwd, _carafe_bwd)

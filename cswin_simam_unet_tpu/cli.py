@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype")
+    t.add_argument("--pallas", action="store_true",
+                   help="use fused Pallas TPU kernels (auto-disabled off-TPU)")
+    t.add_argument("--tensorboard-dir", default=None)
 
     ls = sub.add_parser("list-configs", help="list available configs")
     return p
@@ -76,6 +79,11 @@ def run_train(args) -> int:
         overrides["seed"] = args.seed
     if args.bf16:
         overrides["model_dtype"] = "bfloat16"
+    if args.pallas:
+        if jax.devices()[0].platform == "tpu":
+            overrides["model_use_pallas"] = True
+        else:
+            print("--pallas requested but no TPU backend; using XLA kernels")
     cfg = get_config(args.config, **overrides)
     if args.no_augment:
         cfg = dataclasses.replace(cfg, augment=None)
@@ -122,7 +130,7 @@ def run_train(args) -> int:
         augment=cfg.augment, plateau_factor=cfg.plateau_factor,
         plateau_patience=cfg.plateau_patience,
         plateau_min_lr=cfg.plateau_min_lr, seed=cfg.seed,
-        checkpoint_manager=store)
+        checkpoint_manager=store, tensorboard_dir=args.tensorboard_dir)
 
     history = scheduler = None
     start_epoch = 0

@@ -214,6 +214,7 @@ class FitConfig:
     seed: int = 42
     log_every: int = 0  # batches; 0 = epoch-level only
     checkpoint_manager: Any = None  # train.checkpoint.CheckpointStore
+    tensorboard_dir: Optional[str] = None
     verbose: bool = True
 
 
@@ -242,6 +243,10 @@ def fit(model, state: TrainState, train_loader, test_loader,
     history = history if history is not None else empty_history()
     base_rng = jax.random.PRNGKey(cfg.seed)
     global_step = 0
+    tb = None
+    if cfg.tensorboard_dir:
+        from cswin_simam_unet_tpu.train.reporting import TensorBoardLogger
+        tb = TensorBoardLogger(cfg.tensorboard_dir)
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
@@ -274,6 +279,8 @@ def fit(model, state: TrainState, train_loader, test_loader,
         history["test_dice"].append(test_metrics["dice"])
         history["test_iou"].append(test_metrics["iou"])
         history["learning_rates"].append(lr)
+        if tb is not None:
+            tb.log_epoch(epoch + 1, train_metrics, test_metrics, lr)
 
         dt = time.time() - t0
         if cfg.verbose:
@@ -292,4 +299,6 @@ def fit(model, state: TrainState, train_loader, test_loader,
                 epoch + 1, state, scheduler, history,
                 test_dice=test_metrics["dice"])
 
+    if tb is not None:
+        tb.close()
     return state, history

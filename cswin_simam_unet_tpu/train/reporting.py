@@ -71,6 +71,32 @@ def plot_metrics(history: Dict[str, list], path: str, title: str = "") -> None:
     plt.close(fig)
 
 
+class TensorBoardLogger:
+    """Optional TensorBoard scalar logging (SURVEY.md §5 observability row);
+    no-op if tensorboardX is unavailable."""
+
+    def __init__(self, logdir: str):
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(logdir)
+        except ImportError:
+            self.writer = None
+
+    def log_epoch(self, epoch: int, train: Dict[str, float],
+                  test: Dict[str, float], lr: float) -> None:
+        if self.writer is None:
+            return
+        for k, v in train.items():
+            self.writer.add_scalar(f"train/{k}", v, epoch)
+        for k, v in test.items():
+            self.writer.add_scalar(f"test/{k}", v, epoch)
+        self.writer.add_scalar("learning_rate", lr, epoch)
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()
+
+
 def config_banner(config: Dict) -> str:
     lines = ["=" * 50, "Training configuration", "=" * 50]
     for k, v in config.items():

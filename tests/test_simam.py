@@ -38,6 +38,21 @@ def test_simam_shape_and_gradient():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_simam_flat_matches_shuffled():
+    # SimAM on the pre-pixel-shuffle layout must equal
+    # unshuffle(simam(shuffle(x)))
+    from cswin_simam_unet_tpu.ops.simam import simam_flat
+    from cswin_simam_unet_tpu.ops.pallas_carafe import (
+        _pixel_shuffle, _pixel_unshuffle)
+    rs = np.random.RandomState(7)
+    S, C = 2, 4
+    x_flat = jnp.asarray(rs.randn(2, 4, 4, S * S * C).astype(np.float32))
+    want = _pixel_unshuffle(simam(_pixel_shuffle(x_flat, S)), S)
+    got = simam_flat(x_flat, groups=S * S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_simam_is_parameter_free_scaling():
     # attention weights are in (0, 1) -> |out| <= |x|
     x = jnp.asarray(np.random.RandomState(3).randn(1, 4, 4, 2).astype(np.float32))

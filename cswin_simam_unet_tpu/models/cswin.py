@@ -186,8 +186,9 @@ class CSWinUNet(nn.Module):
                           use_pallas=True, flat_output=True,
                           dtype=self.dtype, name="upsample1")(
                 tokens, resos[0], resos[0])
-            logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
-                             dtype=self.dtype, name="output")(flat)
+            from cswin_simam_unet_tpu.models.layers import PointwiseConv
+            logits = PointwiseConv(self.num_classes, use_bias=False,
+                                   dtype=self.dtype, name="output")(flat)
             B = logits.shape[0]
             r0, S = resos[0], 4
             logits = logits.reshape(B, r0, r0, S, S, self.num_classes)
@@ -199,8 +200,9 @@ class CSWinUNet(nn.Module):
                         dtype=self.dtype, name="upsample1")(
             tokens, resos[0], resos[0])
         img = tokens_to_nhwc(tokens, self.img_size, self.img_size)
-        logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
-                         dtype=self.dtype, name="output")(img)
+        from cswin_simam_unet_tpu.models.layers import PointwiseConv
+        logits = PointwiseConv(self.num_classes, use_bias=False,
+                               dtype=self.dtype, name="output")(img)
         return logits
 
     def predict(self, variables, x: jnp.ndarray) -> jnp.ndarray:

@@ -208,6 +208,31 @@ class MergeBlock(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
 
 
+class PointwiseConv(nn.Module):
+    """1x1 conv applied as a channel matmul.
+
+    Parameter-compatible with ``nn.Conv(features, (1, 1))`` (kernel shape
+    (1, 1, in, out)) so the torch importer and the standard conv path share
+    weights — but lowered as a plain dot on the channel dim, which avoids
+    XLA convolution layout-assignment copies on output-resolution tensors.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features), jnp.float32)
+        y = jnp.dot(x, kernel[0, 0].astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class CARAFE(nn.Module):
     """Content-aware reassembly upsampler (ref :391-486).
 
@@ -230,7 +255,7 @@ class CARAFE(nn.Module):
         B, L, C = x.shape
         S = self.up_factor
         img = tokens_to_nhwc(x, H, W)
-        t = nn.Conv(C // 4, (1, 1), dtype=self.dtype, name="down")(img)
+        t = PointwiseConv(C // 4, dtype=self.dtype, name="down")(img)
         r = self.ksize // 2
         enc = nn.Conv(S ** 2 * self.ksize ** 2,
                       (self.ksize, self.ksize), padding=((r, r), (r, r)),
@@ -250,15 +275,15 @@ class CARAFE(nn.Module):
                 # unscrambles the (tiny) final logits tensor instead.
                 up = carafe_flat_pallas(img, enc, S, self.ksize)
                 up = up.reshape(B, H, W * S * S, C)
-                out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
-                              name="out")(up)
+                out = PointwiseConv(self.dim_out, dtype=self.dtype,
+                                    name="out")(up)
                 if self.use_simam:
                     out = simam(out)
                 return out  # (B, H, W*S^2, dim_out), sub-pixel-major
             up = carafe_reassemble_pallas(img, enc, S, self.ksize)
         else:
             up = carafe_reassemble(img, enc, S, self.ksize)
-        out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="out")(up)
+        out = PointwiseConv(self.dim_out, dtype=self.dtype, name="out")(up)
         if self.use_simam:
             out = simam(out)
         return nhwc_to_tokens(out)

@@ -104,8 +104,9 @@ class UNet(nn.Module):
         x = Up(f * 4, dtype=self.dtype, name="up2")(x, x3, train)
         x = Up(f * 2, dtype=self.dtype, name="up3")(x, x2, train)
         x = Up(f, dtype=self.dtype, name="up4")(x, x1, train)
-        logits = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
-                         name="outc")(x)
+        from cswin_simam_unet_tpu.models.layers import PointwiseConv
+        logits = PointwiseConv(self.n_classes, dtype=self.dtype,
+                               name="outc")(x)
         return logits
 
     def predict(self, variables, x: jnp.ndarray) -> jnp.ndarray:

@@ -50,8 +50,10 @@ def _row_tile(H: int, W: int, C: int, S: int) -> int:
     return 1
 
 
-def _softmax_taps(enc_tile, K2, S2):
-    """enc (R, W, K2*S2) -> tap-softmaxed probs, same FLAT layout (f32)."""
+def _softmax_taps(enc_tile, K2, S2, out_dtype=jnp.float32):
+    """enc (R, W, K2*S2) -> tap-softmaxed probs, same FLAT layout.
+    Softmax math in f32; result cast to ``out_dtype`` (the FMA work dtype —
+    bf16 inputs keep bf16 compute, halving in-kernel traffic)."""
     e = enc_tile.astype(jnp.float32)
     sl = [e[:, :, k * S2:(k + 1) * S2] for k in range(K2)]
     m = sl[0]
@@ -61,7 +63,8 @@ def _softmax_taps(enc_tile, K2, S2):
     denom = ex[0]
     for t in ex[1:]:
         denom = denom + t
-    return jnp.concatenate([t / denom for t in ex], axis=-1)
+    return jnp.concatenate([(t / denom).astype(out_dtype) for t in ex],
+                           axis=-1)
 
 
 def _shift_cols(x, dx: int):
@@ -74,13 +77,15 @@ def _shift_cols(x, dx: int):
     return jnp.concatenate([zeros, x[..., :-1, :]], axis=-2)
 
 
-def _row_ext(prev_ref, cur_ref, next_ref, i, ni, dtype=jnp.float32):
+def _row_ext(prev_ref, cur_ref, next_ref, i, ni, dtype=None):
     """(TH+2, W, X) extended rows from prev/cur/next row-tile blocks; the
     halo rows are zeroed at the image edges (block indices clamp there)."""
+    dtype = dtype or cur_ref.dtype
     top = prev_ref[0, -1:].astype(dtype)
     bot = next_ref[0, :1].astype(dtype)
-    top = jnp.where(i == 0, 0.0, top)
-    bot = jnp.where(i == ni - 1, 0.0, bot)
+    zero = jnp.zeros((), dtype)
+    top = jnp.where(i == 0, zero, top)
+    bot = jnp.where(i == ni - 1, zero, bot)
     return jnp.concatenate([top, cur_ref[0].astype(dtype), bot], axis=0)
 
 
@@ -112,8 +117,9 @@ def _fwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, o_ref, *,
     K2, S2 = 9, S * S
     i = pl.program_id(1)
     ni = pl.num_programs(1)
-    p = _softmax_taps(enc_ref[0], K2, S2)             # (TH, W, 9*S2) flat
-    x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C) f32
+    work = xc_ref.dtype
+    p = _softmax_taps(enc_ref[0], K2, S2, work)       # (TH, W, 9*S2) flat
+    x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C)
     xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
 
     # lane-tiled accumulation: per tap ONE wide FMA over all S2 slots
@@ -133,10 +139,11 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     i = pl.program_id(1)
     ni = pl.num_programs(1)
 
-    p = _softmax_taps(enc_ref[0], K2, S2)             # (TH, W, 9*S2)
-    x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C) f32
+    work = xc_ref.dtype
+    p = _softmax_taps(enc_ref[0], K2, S2, work)       # (TH, W, 9*S2)
+    x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C)
     xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
-    da = da_ref[0].astype(jnp.float32)                # (TH, W, S2*C)
+    da = da_ref[0].astype(work)                       # (TH, W, S2*C)
 
     # ---- denc: softmax VJP over taps (local rows) ----
     # dp_k(r,w,s) = sum_c dacc(r,w,s,c) * xk(r,w,c).  The per-(k,s) lane
@@ -144,7 +151,7 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     # the MXU against a (S2*C, S2) block-indicator matrix.
     ind = (lax.broadcasted_iota(jnp.int32, (S2 * C, S2), 0) // C
            == lax.broadcasted_iota(jnp.int32, (S2 * C, S2), 1)
-           ).astype(jnp.float32)
+           ).astype(work)
     da2 = da.reshape(TH * W, S2 * C)
     dp = []  # K2 entries of (TH, W, S2)
     for k in range(K2):
@@ -163,8 +170,8 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     # ---- dx: gather over the 1-row halo ----
     # dx(r,w,c) = sum_k q_k(r - Dy, w - Dx, c),
     #   q_k(r,w,c) = sum_s p_k(r,w,s) * dacc(r,w,s,c)
-    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni)
-    p_ext = _softmax_taps(p_ext, K2, S2)          # (TH+2, W, 9*S2)
+    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni, jnp.float32)
+    p_ext = _softmax_taps(p_ext, K2, S2, work)    # (TH+2, W, 9*S2)
     # NB: softmax over already-extended logits; halo rows are all-zero
     # logits -> uniform probs, but their dacc is zero so they contribute 0.
     dacc_ext = _row_ext(dap_ref, da_ref, dan_ref, i, ni)  # (TH+2, W, S2*C)

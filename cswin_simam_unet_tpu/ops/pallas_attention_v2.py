@@ -109,12 +109,25 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, vertical: bool,
         o_ref[sl] = o2.reshape(wh, ww, Cb).astype(o_ref.dtype)
 
 
-def _pick_tw(n_windows: int, N: int) -> int:
+def _pick_tw(n_windows: int, N: int, ww: int, W: int,
+             vertical: bool) -> int:
+    """Windows per grid tile.  For vertical stripes the block's
+    second-to-last dim is TW*ww, which Mosaic requires to be divisible by 8
+    or equal to the full W — prefer the largest conforming divisor of
+    n_windows near the ~2048-token target, falling back to one full-width
+    tile."""
     target = max(1, 2048 // N)
+    best = None
     for tw in range(min(target, n_windows), 0, -1):
-        if n_windows % tw == 0:
+        if n_windows % tw:
+            continue
+        if not vertical or (tw * ww) % 8 == 0 or tw * ww == W:
             return tw
-    return 1
+        if best is None:
+            best = tw
+    if vertical:
+        return n_windows  # full-width tile (block dim == array dim)
+    return best or 1
 
 
 def _branch_fwd_impl(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads, scale):
@@ -123,7 +136,7 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads, scale):
     wh, ww = hsp, wsp
     N = wh * ww
     n_windows = (H // hsp) * (W // wsp)
-    TW = _pick_tw(n_windows, N)
+    TW = _pick_tw(n_windows, N, wsp, W, vertical)
 
     def img(x):
         return x.reshape(B, H, W, Cb)

@@ -32,6 +32,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
     args = p.parse_args()
 
     import jax
@@ -65,13 +66,19 @@ def main():
           f"global batch {batch}, dtype {args.dtype}, pallas={use_pallas}",
           file=sys.stderr)
 
-    model = CSWinUNet(
-        img_size=img, use_simam=True, split_size=(1, 2, 8, 8),
-        num_classes=1, drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
-        use_pallas=use_pallas,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.model == "unet":
+        from cswin_simam_unet_tpu.models import UNet
+        model = UNet(use_simam=True, dtype=dtype)
+        opt = "adam"
+    else:
+        model = CSWinUNet(
+            img_size=img, use_simam=True, split_size=(1, 2, 8, 8),
+            num_classes=1, drop_rate=0.0, attn_drop_rate=0.0,
+            drop_path_rate=0.0, use_pallas=use_pallas, dtype=dtype)
+        opt = "adamw"
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               (1, img, img, 3), "adamw", 1e-4, 1e-4)
+                               (1, img, img, 3), opt, 1e-4, 1e-4)
 
     step = make_train_step(model, n_classes=1, augment=None, donate=True)
     rs = np.random.RandomState(0)
@@ -126,14 +133,17 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        ref = base.get("cswin_512_imgs_per_sec")
+        key = ("unet_512_imgs_per_sec" if args.model == "unet"
+               else "cswin_512_imgs_per_sec")
+        ref = base.get(key)
         if ref:
             vs_baseline = ips_per_chip / ref
             print(f"reference ({base.get('hardware')}): {ref:.4f} img/s "
                   f"-> vs_baseline {vs_baseline:.2f}x", file=sys.stderr)
 
+    label = ("UNet-SimAM" if args.model == "unet" else "CSWin-SimAM-UNet")
     print(json.dumps({
-        "metric": f"CSWin-SimAM-UNet {img}^2 fwd+bwd+step images/sec/chip",
+        "metric": f"{label} {img}^2 fwd+bwd+step images/sec/chip",
         "value": round(ips_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),

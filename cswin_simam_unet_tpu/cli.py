@@ -89,9 +89,18 @@ def run_train(args) -> int:
         cfg = dataclasses.replace(cfg, augment=None)
 
     size = (cfg.image_size, cfg.image_size)
+    # Multiclass class-id masks must be resampled nearest-neighbour (host
+    # resize AND on-device crop-resize) — bilinear over ids fabricates
+    # intermediate classes at boundaries.  Binary masks keep the reference's
+    # soft bilinear path (ref :157-158).
+    multiclass = cfg.model.n_classes > 1
+    if multiclass and cfg.augment is not None:
+        cfg = dataclasses.replace(
+            cfg, augment=dataclasses.replace(cfg.augment, mask_nearest=True))
     # Two dataset views over the same dirs, augment handled on device;
     # index split identical to the reference (sklearn, seed).
-    source = SegmentationDataSource(args.image_dir, args.mask_dir, size)
+    source = SegmentationDataSource(args.image_dir, args.mask_dir, size,
+                                    mask_nearest=multiclass)
     train_idx, test_idx = train_test_indices(len(source), cfg.test_split,
                                              cfg.seed)
     train_loader = DataLoader(source, train_idx, cfg.batch_size, shuffle=True,
@@ -106,9 +115,25 @@ def run_train(args) -> int:
         optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
         weight_decay=cfg.weight_decay)
 
+    # Data parallelism: 1-axis ('data',) mesh over all local devices; fit()
+    # replicates the state and shards every batch's leading dim, XLA emits
+    # the gradient all-reduce over ICI (SURVEY.md §2.5 DP row; the reference
+    # is single-device, train_unet_segmentation.py:426).
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.data_parallel and n_dev > 1:
+        if cfg.batch_size % n_dev == 0:
+            from cswin_simam_unet_tpu.parallel import make_mesh
+            mesh = make_mesh((n_dev,), ("data",))
+        else:
+            print(f"data_parallel requested but batch_size {cfg.batch_size} "
+                  f"is not divisible by {n_dev} devices; "
+                  f"training single-device")
+
     print(config_banner({
         "config": cfg.name,
         "devices": jax.devices(),
+        "mesh": f"{dict(mesh.shape)}" if mesh is not None else "single-device",
         "dataset": f"{len(source)} images "
                    f"({len(train_idx)} train / {len(test_idx)} test)",
         "image_size": cfg.image_size,
@@ -134,21 +159,28 @@ def run_train(args) -> int:
 
     history = scheduler = None
     start_epoch = 0
+    global_step = 0
     if args.resume and store.latest_epoch() is not None:
-        state, scheduler, history, start_epoch = store.restore(state)
+        state, scheduler, history, start_epoch, global_step = \
+            store.restore(state)
         print(f"Resumed from epoch {start_epoch}")
 
     state, history = fit(model, state, train_loader, test_loader, fit_cfg,
                          history=history, scheduler=scheduler,
-                         start_epoch=start_epoch)
+                         start_epoch=start_epoch, global_step=global_step,
+                         mesh=mesh)
 
     prefix = os.path.join(args.output_dir, cfg.output_prefix)
     save_metrics_to_csv(history, f"{prefix}_training_metrics.csv")
     plot_metrics(history, f"{prefix}_training_metrics.png", title=cfg.name)
+    # final-weights artifact, parity with the reference's one-shot
+    # torch.save(model.state_dict()) (ref :537/:992)
+    from cswin_simam_unet_tpu.train.checkpoint import save_weights
+    save_weights(f"{prefix}_final_weights.msgpack", state)
     best_epoch, best_dice = store.best_epoch()
     print(f"Done. Best test Dice {best_dice:.4f} at epoch {best_epoch}. "
           f"Artifacts: {prefix}_training_metrics.{{csv,png}}, "
-          f"checkpoints in {ckpt_dir}")
+          f"{prefix}_final_weights.msgpack, checkpoints in {ckpt_dir}")
     store.close()
     return 0
 

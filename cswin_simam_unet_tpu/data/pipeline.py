@@ -55,6 +55,12 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch so order is a pure function of
+        (seed, epoch) — makes a resumed run's batch order identical to the
+        uninterrupted run's (the engine calls this every epoch)."""
+        self._epoch = int(epoch)
+
     def _epoch_order(self) -> np.ndarray:
         order = self.indices.copy()
         if self.shuffle:
@@ -104,13 +110,27 @@ class DataLoader:
 
 def device_prefetch(iterator, size: int = 2, sharding=None):
     """Move numpy batches to device ahead of consumption (double-buffered
-    H2D), optionally placing them with a NamedSharding for pjit training."""
+    H2D), optionally placing them with a NamedSharding for pjit training.
+
+    A batch whose leading dim is not divisible by the sharded axis (the
+    reference keeps partial final batches) is placed replicated instead —
+    correct, just redundant compute for that one batch."""
     queue = collections.deque()
+
+    divisor = 1
+    if sharding is not None:
+        axis = sharding.spec[0] if len(sharding.spec) else None
+        divisor = dict(sharding.mesh.shape).get(axis, 1)
 
     def put(batch):
         if sharding is not None:
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
+            def place(x):
+                if x.shape[0] % divisor == 0:
+                    return jax.device_put(x, sharding)
+                from jax.sharding import NamedSharding, PartitionSpec
+                return jax.device_put(
+                    x, NamedSharding(sharding.mesh, PartitionSpec()))
+            return jax.tree_util.tree_map(place, batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     it = iter(iterator)

@@ -21,6 +21,33 @@ import orbax.checkpoint as ocp
 from cswin_simam_unet_tpu.train.schedule import ReduceLROnPlateau
 
 
+def save_weights(path: str, state) -> None:
+    """Standalone weights artifact (msgpack): the TPU-native equivalent of
+    the reference's single final ``torch.save(model.state_dict())``
+    (train_unet_segmentation.py:537, train_cswinunet_segmentation.py:992)."""
+    from flax import serialization
+    payload = {"params": jax.device_get(state.params)}
+    if state.batch_stats is not None:
+        payload["batch_stats"] = jax.device_get(state.batch_stats)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_weights(path: str, state):
+    """Load a ``save_weights`` artifact back into a TrainState (the loading
+    path the reference never ships — SURVEY.md §5 checkpoint/resume)."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {"params": jax.device_get(state.params)}
+    if state.batch_stats is not None:
+        template["batch_stats"] = jax.device_get(state.batch_stats)
+    payload = serialization.from_bytes(template, data)
+    return state.replace(
+        params=payload["params"],
+        batch_stats=payload.get("batch_stats", state.batch_stats))
+
+
 class CheckpointStore:
     """Epoch-granular checkpoint manager with best-Dice tracking."""
 
@@ -48,7 +75,8 @@ class CheckpointStore:
             json.dump(meta, f)
 
     def save_epoch(self, epoch: int, state, scheduler: ReduceLROnPlateau,
-                   history: Dict[str, list], test_dice: float) -> None:
+                   history: Dict[str, list], test_dice: float,
+                   global_step: int = 0) -> None:
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -58,6 +86,7 @@ class CheckpointStore:
             payload["batch_stats"] = state.batch_stats
         extra = {
             "epoch": epoch,
+            "global_step": int(global_step),
             "scheduler": scheduler.state_dict(),
             "history": history,
         }
@@ -78,9 +107,11 @@ class CheckpointStore:
         return self.manager.latest_step()
 
     def restore(self, state, epoch: Optional[int] = None
-                ) -> Tuple[Any, ReduceLROnPlateau, Dict[str, list], int]:
-        """Restore (state, scheduler, history, epoch). ``state`` provides the
-        target pytree structure (from ``create_train_state``)."""
+                ) -> Tuple[Any, ReduceLROnPlateau, Dict[str, list], int, int]:
+        """Restore (state, scheduler, history, epoch, global_step).
+        ``state`` provides the target pytree structure (from
+        ``create_train_state``).  ``global_step`` feeds ``fit()`` so the
+        resumed run's RNG folds equal the uninterrupted run's."""
         epoch = epoch if epoch is not None else self.manager.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -108,7 +139,8 @@ class CheckpointStore:
         )
         scheduler = ReduceLROnPlateau(lr=0.0)
         scheduler.load_state_dict(extra["scheduler"])
-        return state, scheduler, extra["history"], int(extra["epoch"])
+        return (state, scheduler, extra["history"], int(extra["epoch"]),
+                int(extra.get("global_step", 0)))
 
     def best_epoch(self) -> Tuple[int, float]:
         meta = self._read_meta()

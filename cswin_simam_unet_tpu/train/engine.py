@@ -102,7 +102,10 @@ def _prepare_batch(images_u8, masks_u8, n_classes: int):
     if n_classes == 1:
         masks = masks_u8.astype(jnp.float32) / 255.0
     else:
-        masks = masks_u8.astype(jnp.float32)  # class ids; augment bilinear-safe
+        # class ids as float; the augment path must use nearest-neighbour
+        # mask resampling (AugmentConfig.mask_nearest) — the round in
+        # _finalize_targets only absorbs FP noise, not interpolation
+        masks = masks_u8.astype(jnp.float32)
     return images, masks
 
 
@@ -189,18 +192,23 @@ def make_eval_step(model, n_classes: int = 1) -> Callable:
     return jax.jit(step)
 
 
-def evaluate(eval_step: Callable, state: TrainState, loader) -> Dict[str, float]:
-    """Full-dataset eval; uniform mean over batches (ref :274-309)."""
-    sums = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
-    n = 0
-    for images, masks in loader:
-        m = eval_step(state, images, masks)
-        for k in sums:
-            sums[k] += float(m[k])
-        n += 1
-    if n == 0:
-        return {k: float("nan") for k in sums}
-    return {k: v / n for k, v in sums.items()}
+def evaluate(eval_step: Callable, state: TrainState, loader,
+             data_sharding=None) -> Dict[str, float]:
+    """Full-dataset eval; uniform mean over batches (ref :274-309).
+
+    Per-batch metrics stay on device (async dispatch); one ``device_get``
+    at the end fetches them all — no per-batch D2H sync (the reference's
+    ``loss.item()`` anti-pattern, ref :359, at eval granularity).
+    """
+    from cswin_simam_unet_tpu.data.pipeline import device_prefetch
+    per_batch = []
+    for images, masks in device_prefetch(loader, sharding=data_sharding):
+        per_batch.append(eval_step(state, images, masks))
+    if not per_batch:
+        return {k: float("nan") for k in ("loss", "dice", "iou")}
+    fetched = jax.device_get(per_batch)
+    return {k: float(np.mean([m[k] for m in fetched]))
+            for k in ("loss", "dice", "iou")}
 
 
 @dataclass
@@ -227,13 +235,22 @@ def empty_history() -> Dict[str, list]:
 def fit(model, state: TrainState, train_loader, test_loader,
         cfg: FitConfig, history: Optional[Dict[str, list]] = None,
         scheduler: Optional[ReduceLROnPlateau] = None,
-        start_epoch: int = 0):
+        start_epoch: int = 0, global_step: int = 0, mesh=None):
     """Epoch loop with reference-identical bookkeeping (ref :313-402).
 
-    Returns (state, history).  Supports resume via ``start_epoch`` +
-    pre-loaded ``history``/``scheduler``/``state`` (the reference loses the
-    whole run on a crash; SURVEY.md §5).
+    Returns (state, history).  Supports trajectory-exact resume via
+    ``start_epoch`` + ``global_step`` + pre-loaded ``history``/``scheduler``/
+    ``state`` (the reference loses the whole run on a crash; SURVEY.md §5):
+    the augmentation/dropout RNG folds and the loader shuffle order are pure
+    functions of (seed, epoch, global_step), all checkpointed.
+
+    With ``mesh`` (a 1-axis ``('data',)`` jax Mesh) the state is replicated
+    over the mesh and every batch is sharded over its leading dim — XLA emits
+    the gradient all-reduce over ICI.  Batches are moved host->device through
+    a double-buffered prefetcher either way, so H2D overlaps compute.
     """
+    from cswin_simam_unet_tpu.data.pipeline import device_prefetch
+
     train_step = make_train_step(model, cfg.n_classes, cfg.augment)
     eval_step = make_eval_step(model, cfg.n_classes)
     if scheduler is None:
@@ -242,7 +259,11 @@ def fit(model, state: TrainState, train_loader, test_loader,
             patience=cfg.plateau_patience, min_lr=cfg.plateau_min_lr)
     history = history if history is not None else empty_history()
     base_rng = jax.random.PRNGKey(cfg.seed)
-    global_step = 0
+    data_sharding = None
+    if mesh is not None:
+        from cswin_simam_unet_tpu.parallel import batch_sharding, shard_state
+        state = shard_state(state, mesh)
+        data_sharding = batch_sharding(mesh, 4)
     tb = None
     if cfg.tensorboard_dir:
         from cswin_simam_unet_tpu.train.reporting import TensorBoardLogger
@@ -250,25 +271,33 @@ def fit(model, state: TrainState, train_loader, test_loader,
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
-        sums = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
-        nb = 0
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        per_batch = []
         n_images = 0
-        for images, masks in train_loader:
+        for images, masks in device_prefetch(train_loader,
+                                             sharding=data_sharding):
             rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + global_step)
             state, m = train_step(state, images, masks, rng)
-            for k in sums:
-                sums[k] += float(m[k])
-            nb += 1
+            per_batch.append(m)  # device scalars; fetched once per epoch
             n_images += images.shape[0]
             global_step += 1
-            if cfg.verbose and cfg.log_every and nb % cfg.log_every == 0:
+            if cfg.verbose and cfg.log_every and \
+                    len(per_batch) % cfg.log_every == 0:
+                nb = len(per_batch)
+                live = jax.device_get(per_batch[-1])
                 print(f"  epoch {epoch + 1} batch {nb}: "
-                      f"loss {sums['loss'] / nb:.4f} "
-                      f"dice {sums['dice'] / nb:.4f} "
-                      f"iou {sums['iou'] / nb:.4f}")
-        train_metrics = {k: (v / nb if nb else float("nan"))
-                         for k, v in sums.items()}
-        test_metrics = evaluate(eval_step, state, test_loader)
+                      f"loss {float(live['loss']):.4f} "
+                      f"dice {float(live['dice']):.4f} "
+                      f"iou {float(live['iou']):.4f}")
+        nb = len(per_batch)
+        if nb:
+            fetched = jax.device_get(per_batch)
+            train_metrics = {k: float(np.mean([m[k] for m in fetched]))
+                             for k in ("loss", "dice", "iou")}
+        else:
+            train_metrics = {k: float("nan") for k in ("loss", "dice", "iou")}
+        test_metrics = evaluate(eval_step, state, test_loader, data_sharding)
         lr = scheduler.step(test_metrics["loss"])
         set_learning_rate(state, lr)
 
@@ -297,7 +326,7 @@ def fit(model, state: TrainState, train_loader, test_loader,
         if cfg.checkpoint_manager is not None:
             cfg.checkpoint_manager.save_epoch(
                 epoch + 1, state, scheduler, history,
-                test_dice=test_metrics["dice"])
+                test_dice=test_metrics["dice"], global_step=global_step)
 
     if tb is not None:
         tb.close()

@@ -52,8 +52,9 @@ def test_save_restore_roundtrip(tmp_path):
     store.manager.wait_until_finished()
 
     _, fresh = _state(seed=1)  # different init
-    restored, sched2, hist2, epoch = store.restore(fresh)
+    restored, sched2, hist2, epoch, gstep = store.restore(fresh)
     assert epoch == 1
+    assert gstep == 0
     _trees_equal(state.params, restored.params)
     _trees_equal(state.opt_state, restored.opt_state)
     _trees_equal(state.batch_stats, restored.batch_stats)
@@ -82,26 +83,45 @@ def test_best_dice_tracking(tmp_path):
 @pytest.mark.slow
 def test_fault_injection_resume(tmp_path):
     """Train 3 epochs saving each; then restart from epoch 2's checkpoint
-    and verify the continued run reproduces epoch 3 exactly (bitwise params)
-    — the crash-recovery guarantee the reference lacks (it saves only after
-    all 100 epochs, train_unet_segmentation.py:537)."""
+    and verify the continued run reproduces epoch 3 exactly (bitwise params
+    AND identical history) — trajectory-exact resume, the crash-recovery
+    guarantee the reference lacks (it saves only after all 100 epochs,
+    train_unet_segmentation.py:537).
+
+    RNG-sensitivity matters here: augmentation is ON and the shuffling
+    loader is epoch-keyed, so a resume that mis-restores ``global_step`` or
+    the loader epoch produces different augment draws / batch order and the
+    bitwise-params assertion fails.
+    """
+    from cswin_simam_unet_tpu.data.augment import AugmentConfig
+
     rs = np.random.RandomState(0)
     imgs = (rs.rand(4, 16, 16, 3) * 255).astype(np.uint8)
     masks = (imgs[..., :1] > 128).astype(np.uint8) * 255
-    batches = [(imgs[:2], masks[:2]), (imgs[2:], masks[2:])]
 
     class Loader:
+        """Shuffling loader keyed by set_epoch, like data.pipeline.DataLoader."""
+
+        def __init__(self):
+            self._epoch = 0
+
+        def set_epoch(self, epoch):
+            self._epoch = epoch
+
         def __iter__(self):
-            return iter(batches)
+            order = np.random.RandomState(7 + self._epoch).permutation(4)
+            half = [order[:2], order[2:]]
+            return iter([(imgs[i], masks[i]) for i in half])
 
     def run(n_epochs, store, state=None, scheduler=None, history=None,
-            start_epoch=0):
+            start_epoch=0, global_step=0):
         model, s0 = _state()
         state = state if state is not None else s0
-        cfg = FitConfig(num_epochs=n_epochs, augment=None, verbose=False,
-                        checkpoint_manager=store)
+        cfg = FitConfig(num_epochs=n_epochs, augment=AugmentConfig(),
+                        verbose=False, checkpoint_manager=store)
         return fit(model, state, Loader(), Loader(), cfg, history=history,
-                   scheduler=scheduler, start_epoch=start_epoch)
+                   scheduler=scheduler, start_epoch=start_epoch,
+                   global_step=global_step)
 
     store_a = CheckpointStore(str(tmp_path / "a"))
     state_a, hist_a = run(3, store_a)
@@ -111,11 +131,13 @@ def test_fault_injection_resume(tmp_path):
     # context and continue to epoch 3
     _, fresh = _state(seed=9)
     store_b = CheckpointStore(str(tmp_path / "a"))
-    state_r, sched_r, hist_r, epoch_r = store_b.restore(fresh, epoch=2)
+    state_r, sched_r, hist_r, epoch_r, gstep_r = store_b.restore(fresh,
+                                                                 epoch=2)
     assert epoch_r == 2
+    assert gstep_r == 4  # 2 epochs x 2 batches
     state_b, hist_b = run(3, CheckpointStore(str(tmp_path / "c")),
                           state=state_r, scheduler=sched_r, history=hist_r,
-                          start_epoch=2)
+                          start_epoch=2, global_step=gstep_r)
 
     _trees_equal(state_a.params, state_b.params)
     assert hist_a == hist_b

@@ -31,6 +31,10 @@ class AugmentConfig:
     flip_prob: float = 0.5
     rotate_prob: float = 0.25
     crop_scale: tuple = (0.75, 1.0)
+    # nearest-neighbour crop-resize for the mask: required for multiclass
+    # masks (bilinear over class ids fabricates classes at boundaries);
+    # False keeps the reference's soft bilinear masks for binary seg.
+    mask_nearest: bool = False
 
 
 def _augment_one(image: jnp.ndarray, mask: jnp.ndarray, hflip, vflip, k,
@@ -45,6 +49,11 @@ def _augment_one(image: jnp.ndarray, mask: jnp.ndarray, hflip, vflip, k,
     new_w = jnp.floor(W * scale).astype(jnp.int32)
     top = jnp.floor(top_u * (H - new_h + 1).astype(jnp.float32)).astype(jnp.int32)
     left = jnp.floor(left_u * (W - new_w + 1).astype(jnp.float32)).astype(jnp.int32)
+    if cfg.mask_nearest:
+        image_out = crop_resize(pair[..., :-1], top, left, new_h, new_w, H, W)
+        mask_out = crop_resize(pair[..., -1:], top, left, new_h, new_w, H, W,
+                               method="nearest")
+        return image_out, mask_out
     pair = crop_resize(pair, top, left, new_h, new_w, H, W)
     return pair[..., :-1], pair[..., -1:]
 

@@ -22,7 +22,8 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
-def _decode_resize_cv2(data: bytes, size: Tuple[int, int], gray: bool):
+def _decode_resize_cv2(data: bytes, size: Tuple[int, int], gray: bool,
+                       nearest: bool = False):
     import cv2
     arr = np.frombuffer(data, dtype=np.uint8)
     flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
@@ -34,34 +35,41 @@ def _decode_resize_cv2(data: bytes, size: Tuple[int, int], gray: bool):
     # cv2.resize takes (width, height); size is (height, width) like the
     # reference's IMAGE_SIZE constant usage (ref :157-158 passes image_size
     # directly, i.e. (w, h) order for square sizes — identical for squares).
-    return cv2.resize(img, (size[1], size[0]))
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    return cv2.resize(img, (size[1], size[0]), interpolation=interp)
 
 
-def _decode_resize_pil(data: bytes, size: Tuple[int, int], gray: bool):
+def _decode_resize_pil(data: bytes, size: Tuple[int, int], gray: bool,
+                       nearest: bool = False):
     import io
     from PIL import Image
     img = Image.open(io.BytesIO(data))
     img = img.convert("L" if gray else "RGB")
-    img = img.resize((size[1], size[0]), Image.BILINEAR)
+    img = img.resize((size[1], size[0]),
+                     Image.NEAREST if nearest else Image.BILINEAR)
     return np.asarray(img)
 
 
 def decode_resize(data: bytes, size: Tuple[int, int],
-                  gray: bool = False) -> Optional[np.ndarray]:
-    """Decode an encoded image and bilinear-resize to (H, W). Returns uint8
-    HWC (RGB) or HW (grayscale), or None if undecodable."""
+                  gray: bool = False,
+                  nearest: bool = False) -> Optional[np.ndarray]:
+    """Decode an encoded image and resize to (H, W). Returns uint8 HWC (RGB)
+    or HW (grayscale), or None if undecodable.  ``nearest`` selects
+    nearest-neighbour resampling (categorical masks); the native loader is
+    bilinear-only, so nearest requests go straight to cv2/PIL."""
+    if not nearest:
+        try:
+            from cswin_simam_unet_tpu.data import native_loader
+            if native_loader.available():
+                out = native_loader.decode_resize(data, size, gray)
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
     try:
-        from cswin_simam_unet_tpu.data import native_loader
-        if native_loader.available():
-            out = native_loader.decode_resize(data, size, gray)
-            if out is not None:
-                return out
+        return _decode_resize_cv2(data, size, gray, nearest)
     except ImportError:
-        pass
-    try:
-        return _decode_resize_cv2(data, size, gray)
-    except ImportError:
-        return _decode_resize_pil(data, size, gray)
+        return _decode_resize_pil(data, size, gray, nearest)
 
 
 class SegmentationDataSource:
@@ -71,10 +79,14 @@ class SegmentationDataSource:
 
     def __init__(self, image_dir: str, mask_dir: str,
                  image_size: Tuple[int, int] = (448, 448),
-                 extensions: Sequence[str] = IMAGE_EXTS):
+                 extensions: Sequence[str] = IMAGE_EXTS,
+                 mask_nearest: bool = False):
         self.image_dir = image_dir
         self.mask_dir = mask_dir
         self.image_size = tuple(image_size)
+        # nearest-neighbour mask resize: required for multiclass class-id
+        # masks; binary masks keep the reference's soft bilinear resize
+        self.mask_nearest = mask_nearest
         paths = []
         for ext in extensions:
             paths.extend(glob(os.path.join(image_dir, ext)))
@@ -95,8 +107,8 @@ class SegmentationDataSource:
         batch buffer); None if the native library is unavailable or any
         image fails to decode natively (caller falls back per-sample)."""
         from cswin_simam_unet_tpu.data import native_loader
-        if not native_loader.available():
-            return None
+        if not native_loader.available() or self.mask_nearest:
+            return None  # native resize is bilinear-only
         img_paths = [self.image_paths[i] for i in indices]
         mask_paths = [self.mask_path(i) for i in indices]
         out = native_loader.load_batch(img_paths, mask_paths,
@@ -106,9 +118,19 @@ class SegmentationDataSource:
         images, masks, status = out
         if np.any(status == 1):  # undecodable image -> per-sample fallback
             return None
-        for i in np.nonzero(status == 2)[0]:
-            warnings.warn(f"no/bad mask for "
-                          f"{os.path.basename(img_paths[i])}; using empty mask")
+        bad_mask = status == 2
+        if np.any(bad_mask):
+            # A mask file that EXISTS but libjpeg can't decode (e.g. PNG
+            # bytes in a .jpg name) deserves the cv2/PIL fallback — the
+            # reference's cv2.imdecode would read it.  Only a genuinely
+            # missing mask becomes the zero mask.
+            if any(bad_mask[i] and mask_paths[i] is not None
+                   for i in range(len(indices))):
+                return None
+            for i in np.nonzero(bad_mask)[0]:
+                warnings.warn(f"no mask for "
+                              f"{os.path.basename(img_paths[i])}; "
+                              f"using empty mask")
         return images, masks
 
     def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -123,7 +145,8 @@ class SegmentationDataSource:
         mask = None
         if os.path.exists(mask_path):
             with open(mask_path, "rb") as f:
-                mask = decode_resize(f.read(), self.image_size, gray=True)
+                mask = decode_resize(f.read(), self.image_size, gray=True,
+                                     nearest=self.mask_nearest)
             if mask is None:
                 warnings.warn(f"cannot decode mask for {name}; using empty mask")
         else:

@@ -60,14 +60,28 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return sample_bilinear(img.astype(jnp.float32), ys, xs)
 
 
+def sample_nearest(img: jnp.ndarray, ys: jnp.ndarray,
+                   xs: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour sample of an HWC image at float coords ys x xs —
+    for categorical masks, where interpolating class ids would fabricate
+    intermediate classes at boundaries."""
+    y = jnp.round(ys).astype(jnp.int32)
+    x = jnp.round(xs).astype(jnp.int32)
+    return jnp.take(jnp.take(img, y, axis=0), x, axis=1)
+
+
 def crop_resize(img: jnp.ndarray, top, left, crop_h, crop_w,
-                out_h: int, out_w: int) -> jnp.ndarray:
+                out_h: int, out_w: int,
+                method: str = "bilinear") -> jnp.ndarray:
     """Crop [top:top+crop_h, left:left+crop_w] then resize to (out_h, out_w),
     all with traced crop scalars and static output shape — jit-safe random
-    crop-and-resize (reference: train_unet_segmentation.py:67-82)."""
+    crop-and-resize (reference: train_unet_segmentation.py:67-82).
+    ``method='nearest'`` preserves categorical values (multiclass masks)."""
     H, W = img.shape[0], img.shape[1]
     ys = _axis_coords(out_h, top, crop_h, H)
     xs = _axis_coords(out_w, left, crop_w, W)
+    if method == "nearest":
+        return sample_nearest(img, ys, xs)
     return sample_bilinear(img.astype(jnp.float32), ys, xs)
 
 

@@ -28,7 +28,9 @@ def main():
     p.add_argument("--batch-per-chip", type=int, default=8)
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=3,
+                   help="compile/warmup steps before timing (min 1: the "
+                        "warmup sync also materialises `metrics`)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
@@ -98,7 +100,7 @@ def main():
         rng = jax.random.PRNGKey(1)
 
     t_compile = time.perf_counter()
-    for i in range(args.warmup):
+    for i in range(max(1, args.warmup)):
         state, metrics = step(state, images, masks, rng)
     _ = float(metrics["loss"])  # hard sync (block_until_ready lies, see below)
     print(f"warmup+compile: {time.perf_counter() - t_compile:.1f}s",
@@ -127,6 +129,28 @@ def main():
           f"{ips:.2f} img/s total, {ips_per_chip:.2f} img/s/chip, "
           f"loss={loss:.4f}", file=sys.stderr)
 
+    # MFU: XLA cost-analysis FLOPs of the whole train step / wall time /
+    # aggregate peak.  bf16 peak per chip (dense): v5e 197 TF, v4 275 TF,
+    # v5p 459 TF, v6e 918 TF.
+    mfu = None
+    try:
+        cost = step.lower(state, images, masks, rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+        kind = devices[0].device_kind.lower()
+        peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+                 "v5p": 459e12, "v6": 918e12}
+        peak = next((v for k, v in peaks.items() if k in kind), None)
+        if peak and flops_per_step > 0:
+            mfu = flops_per_step / per_step / (peak * n_chips)
+            print(f"cost-analysis {flops_per_step / batch / 1e9:.1f} "
+                  f"GFLOP/img -> MFU {mfu * 100:.1f}% "
+                  f"({devices[0].device_kind} peak {peak / 1e12:.0f} TF/chip)",
+                  file=sys.stderr)
+    except Exception as e:  # cost analysis is best-effort diagnostics
+        print(f"MFU unavailable: {e}", file=sys.stderr)
+
     vs_baseline = 0.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_measured.json")
@@ -142,12 +166,15 @@ def main():
                   f"-> vs_baseline {vs_baseline:.2f}x", file=sys.stderr)
 
     label = ("UNet-SimAM" if args.model == "unet" else "CSWin-SimAM-UNet")
-    print(json.dumps({
+    out = {
         "metric": f"{label} {img}^2 fwd+bwd+step images/sec/chip",
         "value": round(ips_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

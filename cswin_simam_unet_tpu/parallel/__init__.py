@@ -11,3 +11,8 @@ from cswin_simam_unet_tpu.parallel.sharding import (  # noqa: F401
     partition_rules_cswin,
     params_shardings,
 )
+from cswin_simam_unet_tpu.parallel.distributed import (  # noqa: F401
+    global_batch_from_local,
+    initialize_runtime,
+    process_local_indices,
+)

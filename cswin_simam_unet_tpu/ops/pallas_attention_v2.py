@@ -8,20 +8,32 @@ at 512^2 batch 16).  v2 eliminates the window materialisation entirely: the
 Pallas grid tiles the (B, H, W, C) *image* directly (BlockSpec index maps do
 the stripe carving), and each grid step computes, fully in VMEM:
 
-    window tokens -> per-head scaled qk^T -> softmax -> pv
+    window tokens -> per-head scaled qk^T -> softmax -> [dropout] -> pv
     + LePE (window-local zero-padded depthwise 3x3 on v, 9 shifted FMAs)
 
 and writes the output back in image layout.  No (G, N, D) arrays, no
 padded HBM buffers, no separate LePE convolution.
 
-Backward currently reuses the XLA stripe-attention VJP (identical math);
-a fused backward kernel is the planned next step.  Training with
-attention-dropout active routes to the XLA path entirely.
+The backward is a second fused kernel in the same image-carved layout
+(softmax VJP + four matmuls per head + LePE transpose taps), with the
+depthwise-kernel gradient accumulated across grid steps into a revisited
+output block (TPU grids execute sequentially).  Attention dropout runs
+in-kernel via the TPU PRNG: the mask is regenerated in the backward by
+re-seeding per (batch, window) — ``pltpu.prng_seed(seed, b, window_index)``
+then per-head draws in fixed order — so forward and backward masks are
+bitwise identical regardless of tiling.  Reference math:
+train_cswinunet_segmentation.py:287-292 (attn softmax/dropout/matmul).
+
+On non-TPU backends (interpret mode) the TPU PRNG is unavailable, so
+dropout routes to the XLA path; the dropout-free fwd+bwd kernels are fully
+interpret-testable.
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -34,44 +46,71 @@ from cswin_simam_unet_tpu.ops.attention import stripe_attention
 _INTERPRET = False
 
 
+def _tap_shift(x, dy: int, dx: int):
+    """x shifted so result[y, x] = x[y + dy, x + dx], zero outside the
+    window — the window-local zero padding of the reference's per-window
+    ``get_v`` depthwise conv (train_cswinunet_segmentation.py:256-269)."""
+    if dy == 1:
+        x = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    elif dy == -1:
+        x = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    if dx == 1:
+        x = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    elif dx == -1:
+        x = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+    return x
+
+
+def _taps(wh: int, ww: int):
+    """Valid 3x3 taps for a (wh, ww) window: taps falling entirely outside a
+    1-wide/1-tall window read only zero padding and contribute nothing."""
+    return [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (wh == 1 and dy != 0) and not (ww == 1 and dx != 0)]
+
+
 def _lepe_window(v_img, kernel, wh: int, ww: int):
     """Depthwise 3x3 conv of one (wh, ww, Cb) window with zero padding at the
-    window edges (the reference applies get_v per window —
-    train_cswinunet_segmentation.py:256-269).  kernel: (3, 3, Cb) f32."""
+    window edges.  kernel: (3, 3, Cb) f32; kernel tap w[dy+1, dx+1]
+    multiplies the input at (y + dy, x + dx) — HWIO conv semantics."""
     out = None
-    for dy in (-1, 0, 1):
-        if wh == 1 and dy != 0:
-            continue  # 1-row window: vertical taps fall outside (zero pad)
-        # tap dy reads v(y + dy): shift rows so rows(y) = v(y + dy)
-        if dy == 1:
-            rows = jnp.concatenate(
-                [v_img[1:], jnp.zeros_like(v_img[:1])], axis=0)
-        elif dy == -1:
-            rows = jnp.concatenate(
-                [jnp.zeros_like(v_img[:1]), v_img[:-1]], axis=0)
-        else:
-            rows = v_img
-        for dx in (-1, 0, 1):
-            if ww == 1 and dx != 0:
-                continue  # 1-column window: horizontal taps are zero
-            if dx == 1:
-                tap = jnp.concatenate(
-                    [rows[:, 1:], jnp.zeros_like(rows[:, :1])], axis=1)
-            elif dx == -1:
-                tap = jnp.concatenate(
-                    [jnp.zeros_like(rows[:, :1]), rows[:, :-1]], axis=1)
-            else:
-                tap = rows
-            # kernel tap index: conv weight w[dy+1, dx+1] multiplies the
-            # input at (y + dy, x + dx) — matching HWIO conv semantics
-            w = kernel[dy + 1, dx + 1]  # (Cb,)
-            term = tap * w[None, None, :]
-            out = term if out is None else out + term
+    for dy, dx in _taps(wh, ww):
+        term = _tap_shift(v_img, dy, dx) * kernel[dy + 1, dx + 1][None, None]
+        out = term if out is None else out + term
     return out
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, vertical: bool,
-                 TW: int, wh: int, ww: int, heads: int, scale: float):
+def _lepe_window_transpose(g_img, kernel, wh: int, ww: int):
+    """VJP of _lepe_window wrt its input: dv[y, x] = sum_taps w[tap] *
+    g[y - dy, x - dx] (zero outside the window)."""
+    out = None
+    for dy, dx in _taps(wh, ww):
+        term = _tap_shift(g_img, -dy, -dx) * kernel[dy + 1, dx + 1][None, None]
+        out = term if out is None else out + term
+    return out
+
+
+def _window_slice(t: int, vertical: bool, wh: int, ww: int):
+    if vertical:
+        return (0, slice(None), slice(t * ww, (t + 1) * ww), slice(None))
+    return (0, slice(t * wh, (t + 1) * wh), slice(None), slice(None))
+
+
+def _dropout_mask(N: int, threshold: int):
+    bits = pltpu.bitcast(pltpu.prng_random_bits((N, N)), jnp.uint32)
+    return bits >= jnp.uint32(threshold)
+
+
+def _seed_window(seed_ref, t: int, TW: int):
+    """Re-seed the PRNG per (batch, global window, t) so the draw stream is
+    independent of the tile width TW — forward and backward may tile
+    differently yet must regenerate identical masks."""
+    widx = pl.program_id(1) * TW + t
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), widx)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
+                 vertical: bool, TW: int, wh: int, ww: int, heads: int,
+                 scale: float, drop_threshold: int, inv_keep: float):
     """One image tile holding TW windows of shape (wh, ww)."""
     Cb = q_ref.shape[-1]
     dh = Cb // heads
@@ -79,10 +118,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, vertical: bool,
     kern = w_ref[:, :, 0, :].astype(jnp.float32)  # (3, 3, Cb)
 
     for t in range(TW):
-        if vertical:
-            sl = (0, slice(None), slice(t * ww, (t + 1) * ww), slice(None))
-        else:
-            sl = (0, slice(t * wh, (t + 1) * wh), slice(None), slice(None))
+        sl = _window_slice(t, vertical, wh, ww)
         qw = q_ref[sl].astype(jnp.float32)  # (wh, ww, Cb)
         kw = k_ref[sl].astype(jnp.float32)
         vw = v_ref[sl].astype(jnp.float32)
@@ -93,6 +129,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, vertical: bool,
         v2 = vw.reshape(N, Cb)
         le2 = lepe.reshape(N, Cb)
 
+        if drop_threshold > 0:
+            _seed_window(seed_ref, t, TW)
+
         outs = []
         for h in range(heads):
             cs = slice(h * dh, (h + 1) * dh)
@@ -102,6 +141,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, vertical: bool,
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
+            if drop_threshold > 0:
+                keep = _dropout_mask(N, drop_threshold)
+                p = jnp.where(keep, p * inv_keep, 0.0)
             o_h = jnp.dot(p, v2[:, cs],
                           preferred_element_type=jnp.float32)
             outs.append(o_h + le2[:, cs])
@@ -109,14 +151,102 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, vertical: bool,
         o_ref[sl] = o2.reshape(wh, ww, Cb).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dw_ref, *,
+                     vertical: bool, TW: int, wh: int, ww: int, heads: int,
+                     scale: float, drop_threshold: int, inv_keep: float):
+    """Fused backward for one image tile: recompute softmax (and the dropout
+    mask, bitwise-identical via per-window re-seeding), then the softmax VJP
+    and the LePE transpose; dw accumulates across the whole grid."""
+    Cb = q_ref.shape[-1]
+    dh = Cb // heads
+    N = wh * ww
+    kern = w_ref[:, :, 0, :].astype(jnp.float32)  # (3, 3, Cb)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    tap_acc = {tap: jnp.zeros((Cb,), jnp.float32)
+               for tap in [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]}
+    for t in range(TW):
+        sl = _window_slice(t, vertical, wh, ww)
+        qw = q_ref[sl].astype(jnp.float32)
+        kw = k_ref[sl].astype(jnp.float32)
+        vw = v_ref[sl].astype(jnp.float32)
+        gw = do_ref[sl].astype(jnp.float32)
+
+        q2 = qw.reshape(N, Cb)
+        k2 = kw.reshape(N, Cb)
+        v2 = vw.reshape(N, Cb)
+        g2 = gw.reshape(N, Cb)
+
+        if drop_threshold > 0:
+            _seed_window(seed_ref, t, TW)
+
+        dqs, dks, dvs = [], [], []
+        for h in range(heads):
+            cs = slice(h * dh, (h + 1) * dh)
+            s = lax.dot_general(q2[:, cs] * scale, k2[:, cs],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            g_h = g2[:, cs]
+            if drop_threshold > 0:
+                keep = _dropout_mask(N, drop_threshold)
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+            else:
+                pd = p
+            # dV = Pd^T dO
+            dv_h = lax.dot_general(pd, g_h, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+            # dPd = dO V^T; dP = mask-scaled dPd; dS = P*(dP - rowsum(dP*P))
+            dp = lax.dot_general(g_h, v2[:, cs], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            if drop_threshold > 0:
+                dp = jnp.where(keep, dp * inv_keep, 0.0)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq_h = jnp.dot(ds, k2[:, cs],
+                           preferred_element_type=jnp.float32) * scale
+            dk_h = lax.dot_general(ds, q2[:, cs], (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) * scale
+            dqs.append(dq_h)
+            dks.append(dk_h)
+            dvs.append(dv_h)
+
+        def cat(xs):
+            return xs[0] if heads == 1 else jnp.concatenate(xs, axis=-1)
+
+        dv2 = cat(dvs)
+        # LePE enters additively per window: dv += conv-transpose taps of dO,
+        # dw[tap] += sum_window dO * shift(v, tap)
+        dv_img = dv2.reshape(wh, ww, Cb) + _lepe_window_transpose(
+            gw, kern, wh, ww)
+        for tap in _taps(wh, ww):
+            contrib = jnp.sum(gw * _tap_shift(vw, *tap), axis=(0, 1))
+            tap_acc[tap] = tap_acc[tap] + contrib
+
+        dq_ref[sl] = cat(dqs).reshape(wh, ww, Cb).astype(dq_ref.dtype)
+        dk_ref[sl] = cat(dks).reshape(wh, ww, Cb).astype(dk_ref.dtype)
+        dv_ref[sl] = dv_img.astype(dv_ref.dtype)
+
+    dw_tile = jnp.stack(
+        [tap_acc[(dy, dx)] for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        axis=0).reshape(3, 3, Cb)
+    dw_ref[:, :, 0, :] += dw_tile
+
+
 def _pick_tw(n_windows: int, N: int, ww: int, W: int,
-             vertical: bool) -> int:
+             vertical: bool, target_tokens: int = 2048) -> int:
     """Windows per grid tile.  For vertical stripes the block's
     second-to-last dim is TW*ww, which Mosaic requires to be divisible by 8
     or equal to the full W — prefer the largest conforming divisor of
-    n_windows near the ~2048-token target, falling back to one full-width
-    tile."""
-    target = max(1, 2048 // N)
+    n_windows near the token target, falling back to one full-width tile."""
+    target = max(1, target_tokens // N)
     best = None
     for tw in range(min(target, n_windows), 0, -1):
         if n_windows % tw:
@@ -130,36 +260,53 @@ def _pick_tw(n_windows: int, N: int, ww: int, W: int,
     return best or 1
 
 
-def _branch_fwd_impl(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads, scale):
+def _geometry(q, H, W, hsp, wsp, target_tokens):
     B, L, Cb = q.shape
     vertical = hsp == H  # full-height vertical stripes (or global window)
     wh, ww = hsp, wsp
     N = wh * ww
     n_windows = (H // hsp) * (W // wsp)
-    TW = _pick_tw(n_windows, N, wsp, W, vertical)
+    TW = _pick_tw(n_windows, N, wsp, W, vertical, target_tokens)
+    if vertical:
+        block = (1, H, TW * ww, Cb)
+        imap = lambda b, i: (b, 0, i, 0)
+    else:
+        block = (1, TW * wh, W, Cb)
+        imap = lambda b, i: (b, i, 0, 0)
+    grid = (B, n_windows // TW)
+    spec = pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+    return vertical, wh, ww, N, TW, grid, spec
+
+
+_SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+_W_SPEC = lambda Cb: pl.BlockSpec((3, 3, 1, Cb), lambda b, i: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+
+def _drop_params(attn_drop: float):
+    if attn_drop <= 0.0:
+        return 0, 1.0
+    threshold = min(int(round(attn_drop * 2.0 ** 32)), 2 ** 32 - 1)
+    return threshold, 1.0 / (1.0 - attn_drop)
+
+
+def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
+                     scale, attn_drop):
+    B, L, Cb = q.shape
+    vertical, wh, ww, N, TW, grid, spec = _geometry(q, H, W, hsp, wsp, 2048)
+    threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):
         return x.reshape(B, H, W, Cb)
 
-    if vertical:
-        block = (1, H, TW * ww, Cb)
-        grid = (B, n_windows // TW)
-        imap = lambda b, i: (b, 0, i, 0)
-    else:
-        block = (1, TW * wh, W, Cb)
-        grid = (B, n_windows // TW)
-        imap = lambda b, i: (b, i, 0, 0)
-
-    spec = pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((3, 3, 1, Cb), lambda b, i: (0, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _attn_kernel, vertical=vertical, TW=TW, wh=wh, ww=ww,
-        heads=num_heads, scale=scale)
+        heads=num_heads, scale=scale, drop_threshold=threshold,
+        inv_keep=inv_keep)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, spec, w_spec],
+        in_specs=[spec, spec, spec, _W_SPEC(Cb), _SEED_SPEC],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -169,32 +316,69 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads, scale):
             transcendentals=B * L * N,
             bytes_accessed=8 * B * L * Cb),
         interpret=_INTERPRET,
-    )(img(q), img(k), img(v), lepe_kernel)
+    )(img(q), img(k), img(v), lepe_kernel, seed)
     return out.reshape(B, L, Cb)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _branch_attention(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads, scale):
-    return _branch_fwd_impl(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads,
-                            scale)
+def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
+                     num_heads, scale, attn_drop):
+    B, L, Cb = q.shape
+    # smaller tiles: backward keeps ~2.3x the forward's live VMEM
+    vertical, wh, ww, N, TW, grid, spec = _geometry(q, H, W, hsp, wsp, 1024)
+    threshold, inv_keep = _drop_params(attn_drop)
+
+    def img(x):
+        return x.reshape(B, H, W, Cb)
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, vertical=vertical, TW=TW, wh=wh, ww=ww,
+        heads=num_heads, scale=scale, drop_threshold=threshold,
+        inv_keep=inv_keep)
+    dq, dk, dv, dw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec, _W_SPEC(Cb), _SEED_SPEC, spec],
+        out_specs=[spec, spec, spec, _W_SPEC(Cb)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
+            jax.ShapeDtypeStruct((3, 3, 1, Cb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * L * N * Cb + 40 * B * L * Cb,
+            transcendentals=B * L * N,
+            bytes_accessed=16 * B * L * Cb),
+        interpret=_INTERPRET,
+    )(img(q), img(k), img(v), lepe_kernel, seed, img(dout))
+    return (dq.reshape(B, L, Cb), dk.reshape(B, L, Cb),
+            dv.reshape(B, L, Cb), dw.astype(lepe_kernel.dtype))
 
 
-def _branch_fwd(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads, scale):
-    out = _branch_fwd_impl(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads,
-                           scale)
-    return out, (q, k, v, lepe_kernel)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _branch_attention(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
+                      scale, attn_drop):
+    return _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp,
+                            num_heads, scale, attn_drop)
 
 
-def _branch_bwd(H, W, hsp, wsp, num_heads, scale, residuals, dout):
-    # exact gradients via the XLA oracle's VJP (identical math); a fused
-    # backward kernel is future work
-    q, k, v, lepe_kernel = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, w_: stripe_attention(
-            q_, k_, v_, w_, H=H, W=W, hsp=hsp, wsp=wsp, num_heads=num_heads,
-            scale=scale),
-        q, k, v, lepe_kernel)
-    return vjp(dout)
+def _branch_fwd(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
+                scale, attn_drop):
+    out = _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp,
+                           num_heads, scale, attn_drop)
+    return out, (q, k, v, lepe_kernel, seed)
+
+
+def _branch_bwd(H, W, hsp, wsp, num_heads, scale, attn_drop, residuals,
+                dout):
+    q, k, v, lepe_kernel, seed = residuals
+    dq, dk, dv, dw = _branch_bwd_impl(
+        q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp, num_heads, scale,
+        attn_drop)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dw, dseed
 
 
 _branch_attention.defvjp(_branch_fwd, _branch_bwd)
@@ -216,9 +400,13 @@ def stripe_attention_pallas_v2(
     deterministic: bool = True,
     dropout_rng: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """Drop-in stripe-attention with v2 fused kernel (image-layout carving
-    + in-kernel LePE).  Falls back to XLA when attention dropout is active."""
-    if attn_drop > 0.0 and not deterministic:
+    """Drop-in stripe-attention with v2 fused kernels (image-layout carving,
+    in-kernel LePE, fused backward, in-kernel PRNG dropout).
+
+    In interpret mode (non-TPU) active dropout falls back to the XLA path —
+    the TPU PRNG has no CPU lowering."""
+    drop_active = attn_drop > 0.0 and not deterministic
+    if drop_active and _INTERPRET:
         return stripe_attention(
             q, k, v, lepe_kernel, H=H, W=W, hsp=hsp, wsp=wsp,
             num_heads=num_heads, scale=scale, attn_drop=attn_drop,
@@ -226,5 +414,15 @@ def stripe_attention_pallas_v2(
     Cb = q.shape[-1]
     if scale is None:
         scale = (Cb // num_heads) ** -0.5
-    return _branch_attention(q, k, v, lepe_kernel, H, W, hsp, wsp, num_heads,
-                             float(scale))
+    if drop_active:
+        kd = (jax.random.key_data(dropout_rng)
+              if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key)
+              else dropout_rng)
+        seed = lax.bitcast_convert_type(kd.reshape(-1)[-1],
+                                        jnp.int32).reshape(1)
+        rate = float(attn_drop)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        rate = 0.0
+    return _branch_attention(q, k, v, lepe_kernel, seed, H, W, hsp, wsp,
+                             num_heads, float(scale), rate)

@@ -44,13 +44,20 @@ def test_v2_matches_xla_forward(H, split, idx, heads):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_v2_gradients_match_xla():
-    H = W = 8
+@pytest.mark.parametrize("H,split,idx,heads", [
+    (8, 1, 0, 1),    # width-1 vertical stripes
+    (8, 2, 0, 2),    # vertical
+    (8, 2, 1, 2),    # horizontal
+    (8, 8, -1, 4),   # global window
+    (16, 4, 0, 2),   # multiple window tiles
+])
+def test_v2_gradients_match_xla(H, split, idx, heads):
+    W = H
     C = 16
-    hsp, wsp = stripe_geometry(H, 2, 0)
+    hsp, wsp = stripe_geometry(H, split, idx)
     q, k, v = (_rand((1, H * W, C), s) for s in (5, 6, 7))
     kernel = _rand((3, 3, 1, C), 8, 0.2)
-    kw = dict(H=H, W=W, hsp=hsp, wsp=wsp, num_heads=2)
+    kw = dict(H=H, W=W, hsp=hsp, wsp=wsp, num_heads=heads)
 
     def loss(fn):
         def f(q, k, v, kern):

@@ -103,9 +103,10 @@ def _dropout_mask(N: int, threshold: int):
 def _seed_window(seed_ref, t: int, TW: int):
     """Re-seed the PRNG per (batch, global window, t) so the draw stream is
     independent of the tile width TW — forward and backward may tile
-    differently yet must regenerate identical masks."""
+    differently yet must regenerate identical masks.  Mosaic accepts at most
+    two seed values, so batch and window index are mixed into one."""
     widx = pl.program_id(1) * TW + t
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), widx)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * 1_000_003 + widx)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,

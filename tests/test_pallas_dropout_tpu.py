@@ -98,34 +98,100 @@ def test_dropout_keep_fraction():
     frac = kept.mean()
     assert abs(frac - (1 - rate)) < 0.08, frac
     expected = (1.0 / N) / (1 - rate)
-    np.testing.assert_allclose(pattern[kept], expected, rtol=1e-4)
+    # rtol 2e-3: Mosaic materialises the inverted-keep scalar with bf16
+    # mantissa precision (1.4296875 vs 10/7) — a fixed 0.08% scale factor,
+    # irrelevant to training dynamics
+    np.testing.assert_allclose(pattern[kept], expected, rtol=2e-3)
 
 
-def test_dropout_gradient_finite_difference():
-    """The fused backward regenerates the mask; with a fixed key the whole
-    function is deterministic, so its custom VJP must match central
-    finite differences."""
+def test_dropout_gradient_v_linearity_exact():
+    """For a fixed key the dropped attention matrix is a constant, so with a
+    frozen cotangent G the map v -> sum(G * attention(v)) is LINEAR in v:
+    L(v + u) - L(v) must equal grad(L)·u to f32 rounding.  A backward that
+    regenerated a different mask than the forward fails this hard."""
     H = W = 8
     C = 16
     rng = jax.random.PRNGKey(7)
     q, k, v = (_rand((1, H * W, C), s) for s in (5, 6, 7))
     kernel = _rand((3, 3, 1, C), 8, 0.2)
+    G = _rand((1, H * W, C), 9)
 
-    def f(v_):
+    def L(v_):
         o = pa2.stripe_attention_pallas_v2(
             q, k, v_, kernel, H=H, W=W, hsp=H, wsp=2, num_heads=2,
             attn_drop=0.3, deterministic=False, dropout_rng=rng)
-        return jnp.sum(o * jnp.cos(o))
+        return jnp.sum(o * G)
 
-    g = np.asarray(jax.grad(f)(v))
-    eps = 1e-3
-    rsel = np.random.RandomState(0)
-    for _ in range(8):
-        i = (0, rsel.randint(H * W), rsel.randint(C))
-        dv = np.zeros(v.shape, np.float32)
-        dv[i] = eps
-        num = (float(f(v + dv)) - float(f(v - dv))) / (2 * eps)
-        np.testing.assert_allclose(g[i], num, rtol=5e-2, atol=5e-3)
+    g = np.asarray(jax.grad(L)(v)).ravel()
+    u = np.random.RandomState(1).randn(*v.shape).astype(np.float32)
+    lin = float(L(v + jnp.asarray(u))) - float(L(v))
+    np.testing.assert_allclose(g @ u.ravel(), lin, rtol=5e-3)
+
+
+def test_dropout_matches_explicit_mask_reference():
+    """Decisive dropout-VJP check: the mask stream depends only on
+    (key, window, head) — not on q/k/v — so it can be extracted with the
+    uniform-attention identity-v trick and baked into a plain-XLA reference.
+    Kernel forward AND all four gradients must match that reference."""
+    from cswin_simam_unet_tpu.ops.attention import lepe_depthwise
+    from cswin_simam_unet_tpu.ops.windows import (
+        img2windows, tokens_to_nhwc, windows2img)
+
+    H = W = 8
+    hsp, wsp = 8, 2
+    N = hsp * wsp  # 16 tokens/window, 4 windows
+    C = 16         # heads=1 and C == N so the identity-v trick reads the
+    rate = 0.3     # full (N, N) mask per window
+    inv_keep = 1.0 / (1.0 - rate)
+    rng = jax.random.PRNGKey(11)
+    scale = C ** -0.5
+
+    def kernel_call(q, k, v, kern):
+        return pa2.stripe_attention_pallas_v2(
+            q, k, v, kern, H=H, W=W, hsp=hsp, wsp=wsp, num_heads=1,
+            attn_drop=rate, deterministic=False, dropout_rng=rng)
+
+    # -- extract the realised keep mask (per window) --
+    zeros = jnp.zeros((1, H * W, C), jnp.float32)
+    eye_wins = jnp.tile(jnp.eye(N, dtype=jnp.float32)[None], (4, 1, 1))
+    v_id = windows2img(eye_wins, hsp, wsp, H, W).reshape(1, H * W, C)
+    o = kernel_call(zeros, zeros, v_id, jnp.zeros((3, 3, 1, C), jnp.float32))
+    pd = img2windows(tokens_to_nhwc(o.reshape(1, H * W, C), H, W), hsp, wsp)
+    keep = np.asarray(pd) > 1e-9  # (4, N, N)
+    assert 0.6 < keep.mean() < 0.8  # sanity: ~1-rate kept
+
+    # -- explicit-mask XLA reference --
+    keep_j = jnp.asarray(keep)
+
+    def ref_call(q, k, v, kern):
+        qw = img2windows(tokens_to_nhwc(q, H, W), hsp, wsp)
+        kw = img2windows(tokens_to_nhwc(k, H, W), hsp, wsp)
+        vw = img2windows(tokens_to_nhwc(v, H, W), hsp, wsp)
+        s = jnp.einsum("wnc,wmc->wnm", qw * scale, kw)
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(keep_j, p * inv_keep, 0.0)
+        lepe = lepe_depthwise(vw, kern, hsp, wsp)
+        ow = jnp.einsum("wnm,wmc->wnc", p, vw) + lepe
+        return windows2img(ow, hsp, wsp, H, W).reshape(1, H * W, C)
+
+    q, k, v = (_rand((1, H * W, C), s) for s in (5, 6, 7))
+    kern = _rand((3, 3, 1, C), 8, 0.2)
+
+    got = np.asarray(kernel_call(q, k, v, kern))
+    want = np.asarray(ref_call(q, k, v, kern))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-5)
+
+    def loss(fn):
+        def f(q_, k_, v_, kern_):
+            o_ = fn(q_, k_, v_, kern_)
+            return jnp.sum(o_ * jnp.cos(o_))
+        return f
+
+    g_got = jax.grad(loss(kernel_call), argnums=(0, 1, 2, 3))(q, k, v, kern)
+    g_want = jax.grad(loss(ref_call), argnums=(0, 1, 2, 3))(q, k, v, kern)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
 
 
 def test_dropout_zero_rate_matches_oracle():

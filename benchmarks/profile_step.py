@@ -51,6 +51,8 @@ def main():
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--raw", action="store_true",
+                   help="also print top raw (uncanonicalised) ops with shapes")
     args = p.parse_args()
 
     import jax
@@ -116,6 +118,7 @@ def main():
         return m.group(1) if m else name
 
     sync = collections.Counter()
+    raw = collections.Counter()
     asyn = collections.Counter()
     module_ns = 0
     for plane in data.planes:
@@ -133,6 +136,7 @@ def main():
                     asyn[b] += ev.duration_ns
                 else:
                     sync[b] += ev.duration_ns
+                    raw[ev.name] += ev.duration_ns
 
     total = sum(sync.values())
     print(f"module wall {module_ns / args.steps / 1e6:.2f} ms/step; "
@@ -152,6 +156,11 @@ def main():
     print(f"\n-- top 10 async ops (ms/step, overlapped) --")
     for name, ns in asyn.most_common(10):
         print(f"{ns / args.steps / 1e6:9.3f}  {name[:100]}")
+    if args.raw:
+        print(f"\n-- top {args.top} raw ops (ms/step) --")
+        for name, ns in raw.most_common(args.top):
+            print(f"{ns / args.steps / 1e6:9.3f}  {100 * ns / total:5.1f}%  "
+                  f"{name[:220]}")
 
 
 if __name__ == "__main__":

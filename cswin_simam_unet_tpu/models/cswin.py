@@ -180,17 +180,22 @@ class CSWinUNet(nn.Module):
         # ---- final 4x CARAFE + 1x1 bias-free head (ref :674-682) ----
         if self.use_pallas:
             # flat-head fast path: CARAFE output stays in pre-pixel-shuffle
-            # layout (free spatial scramble); only the tiny logits tensor is
-            # unscrambled at the very end
+            # layout (B, r0, r0, S^2*E), lane slot s*E + c.  The head's 1x1
+            # conv is applied as a block-diagonal dot kron(I_{S^2}, W) in
+            # that layout — same (1,1,E,classes) param, no (..., E)-minor
+            # reshape (which forced XLA into full-res layout copies) — and
+            # only the tiny logits tensor is unscrambled at the very end.
             flat = CARAFE(E, up_factor=4, use_simam=self.use_simam,
                           use_pallas=True, flat_output=True,
                           dtype=self.dtype, name="upsample1")(
                 tokens, resos[0], resos[0])
+            B = flat.shape[0]
+            r0, S = resos[0], 4
             from cswin_simam_unet_tpu.models.layers import PointwiseConv
             logits = PointwiseConv(self.num_classes, use_bias=False,
-                                   dtype=self.dtype, name="output")(flat)
-            B = logits.shape[0]
-            r0, S = resos[0], 4
+                                   flat_groups=S * S, dtype=self.dtype,
+                                   name="output")(flat)
+            # (B, r0, r0, S^2*classes)
             logits = logits.reshape(B, r0, r0, S, S, self.num_classes)
             logits = logits.transpose(0, 1, 3, 2, 4, 5)
             return logits.reshape(B, self.img_size, self.img_size,

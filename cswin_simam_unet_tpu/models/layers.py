@@ -219,18 +219,34 @@ class PointwiseConv(nn.Module):
 
     features: int
     use_bias: bool = True
+    flat_groups: int = 1  # apply to (..., G*C) sub-pixel-major lanes
+    defer_bias: bool = False  # return (linear, bias) instead of adding it
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
+        G = self.flat_groups
+        C = x.shape[-1] // G
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, 1, x.shape[-1], self.features), jnp.float32)
-        y = jnp.dot(x, kernel[0, 0].astype(self.dtype))
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
-            y = y + bias.astype(self.dtype)
-        return y
+                            (1, 1, C, self.features), jnp.float32)
+        w = kernel[0, 0].astype(self.dtype)
+        if G > 1:
+            # pre-pixel-shuffle layout (lane g*C + c): the same 1x1 conv is
+            # the block-diagonal dot kron(I_G, W) — keeps the (1,1,C,out)
+            # param (importer-compatible) and avoids the (..., C)-minor
+            # reshape whose lane padding forces XLA layout copies.
+            w = jnp.kron(jnp.eye(G, dtype=self.dtype), w)
+        y = jnp.dot(x, w)
+        if not self.use_bias:
+            return (y, None) if self.defer_bias else y
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        b = bias.astype(self.dtype)
+        if G > 1:
+            b = jnp.tile(b, G)
+        if self.defer_bias:
+            return y, b
+        return y + b
 
 
 class CARAFE(nn.Module):
@@ -260,30 +276,39 @@ class CARAFE(nn.Module):
         enc = nn.Conv(S ** 2 * self.ksize ** 2,
                       (self.ksize, self.ksize), padding=((r, r), (r, r)),
                       dtype=self.dtype, name="encoder")(t)
+        # The 1x1 out-conv's LINEAR part commutes exactly with reassembly:
+        # reassembly is a per-pixel scalar-weighted sum over the 3x3
+        # neighbourhood, applied uniformly across channels.  Applying W on
+        # the LOW-RES map does the dot on S^2x fewer rows and halves the
+        # reassembly channel width whenever dim_out < C — same function,
+        # same params (ref applies it post-shuffle at full res,
+        # train_cswinunet_segmentation.py:432-433).  The bias must be added
+        # AFTER reassembly: reassembly zero-pads x at image borders, and a
+        # pre-conv zero is not conv(0) = b there (softmax tap weights sum to
+        # 1 only over all 9 taps, padded ones included).
+        y, b = PointwiseConv(self.dim_out, defer_bias=True,
+                             dtype=self.dtype, name="out")(img)
         if self.use_pallas and self.ksize == 3:
             from cswin_simam_unet_tpu.ops.pallas_carafe import (
                 carafe_flat_pallas,
                 carafe_reassemble_pallas,
             )
             if self.flat_output:
-                # Stay in pre-pixel-shuffle layout: the free reshape
-                # (B,H,W,S^2*C) -> (B,H,W*S^2,C) (no data movement) presents
-                # the same channel vectors under a spatial scramble — 1x1
-                # convs and SimAM's global spatial statistics are exactly
-                # invariant to it, so the expensive full-resolution
-                # pixel-shuffle transpose is skipped entirely.  The caller
-                # unscrambles the (tiny) final logits tensor instead.
-                up = carafe_flat_pallas(img, enc, S, self.ksize)
-                up = up.reshape(B, H, W * S * S, C)
-                out = PointwiseConv(self.dim_out, dtype=self.dtype,
-                                    name="out")(up)
+                # Stay in pre-pixel-shuffle layout (B, H, W, S^2*dim_out) —
+                # lane slot s*dim_out + c is sub-pixel s of channel c.  SimAM
+                # pools per real channel across (H, W, S^2) via simam_flat;
+                # the caller unscrambles only the tiny final logits tensor,
+                # so the full-resolution pixel-shuffle transpose (and the
+                # layout copies of a (..., C)-minor reshape) never happen.
+                up = carafe_flat_pallas(y, enc, S, self.ksize)
+                up = up + jnp.tile(b, S * S)
                 if self.use_simam:
-                    out = simam(out)
-                return out  # (B, H, W*S^2, dim_out), sub-pixel-major
-            up = carafe_reassemble_pallas(img, enc, S, self.ksize)
+                    from cswin_simam_unet_tpu.ops.simam import simam_flat
+                    up = simam_flat(up, S * S)
+                return up  # (B, H, W, S^2*dim_out), sub-pixel-major lanes
+            out = carafe_reassemble_pallas(y, enc, S, self.ksize) + b
         else:
-            up = carafe_reassemble(img, enc, S, self.ksize)
-        out = PointwiseConv(self.dim_out, dtype=self.dtype, name="out")(up)
+            out = carafe_reassemble(y, enc, S, self.ksize) + b
         if self.use_simam:
             out = simam(out)
         return nhwc_to_tokens(out)

@@ -291,14 +291,32 @@ def _drop_params(attn_drop: float):
     return threshold, 1.0 / (1.0 - attn_drop)
 
 
+def _transpose_if_vertical(H, W, hsp, wsp):
+    """Vertical stripes (full-height, width < W) are carved across the
+    sublane dim — width-1/2 strided slices inside the kernel cost ~3x the
+    horizontal case (measured: stage-1 bwd 1.82 ms vs 0.53 ms at 512^2).
+    Transposing the image in XLA (~0.1 ms for the same tensor) turns them
+    into horizontal stripes; the LePE 3x3 kernel transposes its taps to
+    match.  Global windows (hsp==H and wsp==W) stay untransposed."""
+    return hsp == H and wsp < W
+
+
 def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
                      scale, attn_drop):
     B, L, Cb = q.shape
-    vertical, wh, ww, N, TW, grid, spec = _geometry(q, H, W, hsp, wsp, 2048)
+    flip = _transpose_if_vertical(H, W, hsp, wsp)
+    if flip:
+        Ht, Wt, hspt, wspt = W, H, wsp, hsp
+        lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
+    else:
+        Ht, Wt, hspt, wspt = H, W, hsp, wsp
+    vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt, wspt,
+                                                    2048)
     threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):
-        return x.reshape(B, H, W, Cb)
+        x = x.reshape(B, H, W, Cb)
+        return x.transpose(0, 2, 1, 3) if flip else x
 
     kernel = functools.partial(
         _attn_kernel, vertical=vertical, TW=TW, wh=wh, ww=ww,
@@ -309,7 +327,7 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
         grid=grid,
         in_specs=[spec, spec, spec, _W_SPEC(Cb), _SEED_SPEC],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ht, Wt, Cb), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -318,18 +336,29 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
             bytes_accessed=8 * B * L * Cb),
         interpret=_INTERPRET,
     )(img(q), img(k), img(v), lepe_kernel, seed)
+    if flip:
+        out = out.transpose(0, 2, 1, 3)
     return out.reshape(B, L, Cb)
 
 
 def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
                      num_heads, scale, attn_drop):
     B, L, Cb = q.shape
+    flip = _transpose_if_vertical(H, W, hsp, wsp)
+    orig_dtype = lepe_kernel.dtype
+    if flip:
+        Ht, Wt, hspt, wspt = W, H, wsp, hsp
+        lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
+    else:
+        Ht, Wt, hspt, wspt = H, W, hsp, wsp
     # smaller tiles: backward keeps ~2.3x the forward's live VMEM
-    vertical, wh, ww, N, TW, grid, spec = _geometry(q, H, W, hsp, wsp, 1024)
+    vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt, wspt,
+                                                    1024)
     threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):
-        return x.reshape(B, H, W, Cb)
+        x = x.reshape(B, H, W, Cb)
+        return x.transpose(0, 2, 1, 3) if flip else x
 
     kernel = functools.partial(
         _attn_bwd_kernel, vertical=vertical, TW=TW, wh=wh, ww=ww,
@@ -341,9 +370,9 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
         in_specs=[spec, spec, spec, _W_SPEC(Cb), _SEED_SPEC, spec],
         out_specs=[spec, spec, spec, _W_SPEC(Cb)],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
-            jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
-            jax.ShapeDtypeStruct((B, H, W, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B, Ht, Wt, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B, Ht, Wt, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B, Ht, Wt, Cb), q.dtype),
             jax.ShapeDtypeStruct((3, 3, 1, Cb), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -354,8 +383,11 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
             bytes_accessed=16 * B * L * Cb),
         interpret=_INTERPRET,
     )(img(q), img(k), img(v), lepe_kernel, seed, img(dout))
+    if flip:
+        dq, dk, dv = (x.transpose(0, 2, 1, 3) for x in (dq, dk, dv))
+        dw = dw.transpose(1, 0, 2, 3)
     return (dq.reshape(B, L, Cb), dk.reshape(B, L, Cb),
-            dv.reshape(B, L, Cb), dw.astype(lepe_kernel.dtype))
+            dv.reshape(B, L, Cb), dw.astype(orig_dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))

@@ -41,7 +41,12 @@ _INTERPRET = False
 
 
 def _row_tile(H: int, W: int, C: int, S: int) -> int:
-    """Pick TH so per-tile VMEM stays a few MB."""
+    """Pick TH so per-tile VMEM stays bounded (halo is single-row blocks, so
+    live VMEM ~ TH * per_row + 2 rows; larger TH amortises the halo-row
+    softmax recompute in the backward)."""
+    # TH sweep at the final-CARAFE geometry (benchmarks/micro_carafe.py):
+    # fwd+bwd 9.4 ms at TH=4 vs 10.1-10.8 at 2/8/16 — the 8 MB budget's
+    # TH=4 choice is the measured optimum.
     budget = 8 * 1024 * 1024
     per_row = W * (S * S * C + 9 * S * S) * 4 * 2
     for th in (8, 4, 2, 1):
@@ -78,8 +83,9 @@ def _shift_cols(x, dx: int):
 
 
 def _row_ext(prev_ref, cur_ref, next_ref, i, ni, dtype=None):
-    """(TH+2, W, X) extended rows from prev/cur/next row-tile blocks; the
-    halo rows are zeroed at the image edges (block indices clamp there)."""
+    """(TH+2, W, X) extended rows from the current row tile plus single-row
+    halo blocks above/below; the halo rows are zeroed at the image edges
+    (their block indices clamp there)."""
     dtype = dtype or cur_ref.dtype
     top = prev_ref[0, -1:].astype(dtype)
     bot = next_ref[0, :1].astype(dtype)
@@ -212,14 +218,21 @@ def _pixel_unshuffle(arr, S):
 
 
 def _tiled_specs(TH, W, CH, nR):
-    """(cur, prev, next) row-tile specs with edge-clamped neighbour maps."""
+    """(cur, prev, next) row-tile specs with edge-clamped halo maps.
+
+    prev/next are SINGLE-ROW blocks (the kernels use exactly one halo row
+    each side) — fetching the full neighbour tile tripled HBM traffic on the
+    widest operand (the S^2*C cotangent) for rows that were thrown away.
+    Their index maps are in single-row units (block height 1)."""
+    H = nR * TH
     cur = pl.BlockSpec((1, TH, W, CH), lambda b, i: (b, i, 0, 0),
                        memory_space=pltpu.VMEM)
-    prev = pl.BlockSpec((1, TH, W, CH),
-                        lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+    prev = pl.BlockSpec((1, 1, W, CH),
+                        lambda b, i: (b, jnp.maximum(i * TH - 1, 0), 0, 0),
                         memory_space=pltpu.VMEM)
-    nxt = pl.BlockSpec((1, TH, W, CH),
-                       lambda b, i: (b, jnp.minimum(i + 1, nR - 1), 0, 0),
+    nxt = pl.BlockSpec((1, 1, W, CH),
+                       lambda b, i: (b, jnp.minimum((i + 1) * TH, H - 1),
+                                     0, 0),
                        memory_space=pltpu.VMEM)
     return cur, prev, nxt
 

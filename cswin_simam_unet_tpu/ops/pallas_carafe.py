@@ -107,15 +107,39 @@ def _taps(x_ext, TH):
 
 def _expand_s(p_k, C: int):
     """(R, W, S2) -> (R, W, S2*C): each s value repeated across its C-lane
-    slot (s-major), via pltpu.repeat (jnp.repeat in interpret mode)."""
-    if _INTERPRET:
+    slot (s-major), i.e. element-wise lane repeat.
+
+    NB: this must NOT be pltpu.repeat — that is a *tile* repeat
+    (concatenated copies, lane = rep*S2 + s), which silently produces the
+    wrong s-major layout on hardware while interpret-mode tests (which used
+    jnp.repeat) pass.  Mosaic lowers jnp.repeat on the lane dim natively,
+    but only when C is a lane-aligned multiple of 128 (the (.., S2, C) ->
+    (.., S2*C) shape cast is otherwise unsupported); for unaligned C (the
+    final 4x CARAFE head has C=64) build the layout from per-slot lane
+    broadcasts instead."""
+    if C % 128 == 0:
         return jnp.repeat(p_k, C, axis=-1)
-    return pltpu.repeat(p_k, C, axis=p_k.ndim - 1)
+    S2 = p_k.shape[-1]
+    tgt = p_k.shape[:-1] + (C,)
+    return jnp.concatenate(
+        [jnp.broadcast_to(p_k[..., s:s + 1], tgt) for s in range(S2)],
+        axis=-1)
 
 
 def _tile_c(xk, S2: int):
     """(R, W, C) -> (R, W, S2*C): the C-lane vector tiled S2 times."""
     return jnp.concatenate([xk] * S2, axis=-1)
+
+
+def _fold_sum_s(m, S2: int, C: int):
+    """(R, W, S2*C) -> (R, W, C): sum the S2 s-slots of the s-major lane
+    layout by log2 halving folds (contiguous half-lane adds), instead of S2
+    single-lane broadcast FMAs."""
+    width = S2 * C
+    while width > C:
+        width //= 2
+        m = m[..., :width] + m[..., width:2 * width]
+    return m
 
 
 def _fwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, o_ref, *,
@@ -159,11 +183,18 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
            == lax.broadcasted_iota(jnp.int32, (S2 * C, S2), 1)
            ).astype(work)
     da2 = da.reshape(TH * W, S2 * C)
+    # f32 operands at DEFAULT precision run ONE bf16 MXU pass (~1e-3 rel
+    # error on denc); HIGHEST restores exact f32.  bf16 operands are exact
+    # at DEFAULT already (bf16 x bf16 -> f32 accumulate) and HIGHEST does
+    # not lower for them in Mosaic ("Bad lhs type").
+    mm_prec = (lax.Precision.HIGHEST if da2.dtype == jnp.float32
+               else lax.Precision.DEFAULT)
     dp = []  # K2 entries of (TH, W, S2)
     for k in range(K2):
         t = da2 * _tile_c(xk[k], S2).reshape(TH * W, S2 * C)
         dpk = lax.dot_general(t, ind, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=mm_prec)
         dp.append(dpk.reshape(TH, W, S2))
     inner = dp[0] * p[:, :, 0:S2]
     for k in range(1, K2):
@@ -189,11 +220,12 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
         p_rows = p_ext[1 - dy:1 - dy + TH]
         dacc_rows = dacc_ext[1 - dy:1 - dy + TH]
         for dx_ in (-1, 0, 1):
+            # q_k(r,w,c) = sum_s p_k(r,w,s) * dacc(r,w,s*C+c): expand p_k to
+            # the s-major lanes, one wide multiply, then log2 lane folds —
+            # S2 single-lane broadcast FMAs per tap were the VPU bottleneck
             base = k * S2
-            q = (p_rows[:, :, base:base + 1] * dacc_rows[:, :, 0:C])
-            for s in range(1, S2):
-                q = q + (p_rows[:, :, base + s:base + s + 1]
-                         * dacc_rows[:, :, s * C:(s + 1) * C])
+            m = _expand_s(p_rows[:, :, base:base + S2], C) * dacc_rows
+            q = _fold_sum_s(m, S2, C)
             # out(w') consumed x at w'+dx_, so dx(w) += q(w - dx_)
             contrib = _shift_cols(q, -dx_)
             dx = contrib if dx is None else dx + contrib

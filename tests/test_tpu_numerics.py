@@ -1,0 +1,109 @@
+"""Hardware-numerics tests: Pallas kernels vs XLA oracles on a REAL TPU.
+
+The CPU conftest runs every kernel in interpret mode, which executes the
+*JAX semantics* of each op — not the Mosaic lowering.  The two can diverge
+silently: ``pltpu.repeat`` is a tile repeat on hardware but was emulated
+with the element-wise ``jnp.repeat`` in interpret mode, so the CARAFE
+kernels passed every CPU test while computing garbage on the chip (caught
+2026-08-16; fixed in ops/pallas_carafe.py::_expand_s).  These tests re-run
+the kernel-vs-oracle parity checks on the actual hardware lowering.
+
+They skip under the CPU conftest; run directly against the TPU with:
+
+    cd /root/repo && python -m pytest tests/test_tpu_numerics.py \
+        -q -p no:cacheprovider --noconftest
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import cswin_simam_unet_tpu.ops.carafe as oc
+import cswin_simam_unet_tpu.ops.pallas_carafe as pc
+from cswin_simam_unet_tpu.ops.attention import stripe_attention
+from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
+    stripe_attention_pallas_v2,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="hardware-lowering parity needs a real TPU")
+
+
+def _rand(shape, seed, scale=1.0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32) * scale)
+
+
+def _rel_err(got, want):
+    got, want = np.asarray(got), np.asarray(want)
+    return np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12)
+
+
+# the model's two CARAFE geometries: decoder 2x upsamples (C=128 head) and
+# the final 4x head (C=64 — lane-UNaligned, exercises the broadcast path
+# of _expand_s)
+CARAFE_GEOMS = [(1, 16, 32, 128, 2), (2, 32, 32, 64, 4)]
+
+
+@pytest.mark.parametrize("B,H,W,C,S", CARAFE_GEOMS)
+def test_carafe_forward_on_tpu(B, H, W, C, S):
+    x = _rand((B, H, W, C), 0)
+    enc = _rand((B, H, W, 9 * S * S), 1)
+    got = pc.carafe_reassemble_pallas(x, enc, S, 3)
+    want = oc.carafe_reassemble(x, enc, S, 3)
+    assert _rel_err(got, want) < 1e-6
+
+
+@pytest.mark.parametrize("B,H,W,C,S", CARAFE_GEOMS)
+def test_carafe_gradients_on_tpu(B, H, W, C, S):
+    x = _rand((B, H, W, C), 2)
+    enc = _rand((B, H, W, 9 * S * S), 3)
+
+    def loss_pl(x, enc):
+        return jnp.sum(jnp.sin(pc.carafe_reassemble_pallas(x, enc, S, 3)))
+
+    def loss_xla(x, enc):
+        return jnp.sum(jnp.sin(oc.carafe_reassemble(x, enc, S, 3)))
+
+    g_pl = jax.jit(jax.grad(loss_pl, argnums=(0, 1)))(x, enc)
+    g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(x, enc)
+    assert _rel_err(g_pl[0], g_xla[0]) < 1e-5, "dx mismatch on TPU"
+    assert _rel_err(g_pl[1], g_xla[1]) < 1e-5, "denc mismatch on TPU"
+
+
+# (H, W, hsp, wsp): horizontal stripe, vertical stripe, and global window
+ATTN_GEOMS = [(16, 16, 2, 16), (16, 16, 16, 2), (8, 8, 8, 8)]
+
+
+@pytest.mark.parametrize("H,W,hsp,wsp", ATTN_GEOMS)
+def test_stripe_attention_v2_on_tpu(H, W, hsp, wsp):
+    B, C, heads = 2, 32, 2
+    q, k, v = (_rand((B, H * W, C), s, 0.5) for s in (0, 1, 2))
+    kernel = _rand((3, 3, 1, C), 3, 0.2)
+    kw = dict(H=H, W=W, hsp=hsp, wsp=wsp, num_heads=heads)
+
+    def f_pl(q, k, v, kernel):
+        return jnp.sum(
+            jnp.sin(stripe_attention_pallas_v2(q, k, v, kernel, **kw)))
+
+    def f_xla(q, k, v, kernel):
+        return jnp.sum(jnp.sin(stripe_attention(q, k, v, kernel, **kw)))
+
+    out_pl = stripe_attention_pallas_v2(q, k, v, kernel, **kw)
+    out_xla = stripe_attention(q, k, v, kernel, **kw)
+    assert _rel_err(out_pl, out_xla) < 1e-5
+
+    # Backward: both the fused kernel and XLA's own backward run MXU
+    # matmuls at default (single-bf16-pass) precision, so each differs
+    # from a HIGHEST-precision oracle by ~1e-3 rel (measured: pallas is
+    # at or below xla-default's own error on every cotangent).  Judge
+    # the kernel against the HIGHEST oracle at bf16-noise tolerance —
+    # a layout bug shows up as O(1) error, far above this.
+    g_pl = jax.jit(jax.grad(f_pl, argnums=(0, 1, 2, 3)))(q, k, v, kernel)
+    with jax.default_matmul_precision("highest"):
+        g_hi = jax.jit(jax.grad(f_xla, argnums=(0, 1, 2, 3)))(
+            q, k, v, kernel)
+    for a, b, name in zip(g_pl, g_hi, ("dq", "dk", "dv", "dlepe")):
+        assert _rel_err(a, b) < 1e-2, f"{name} mismatch on TPU"

@@ -112,13 +112,12 @@ def _expand_s(p_k, C: int):
     NB: this must NOT be pltpu.repeat — that is a *tile* repeat
     (concatenated copies, lane = rep*S2 + s), which silently produces the
     wrong s-major layout on hardware while interpret-mode tests (which used
-    jnp.repeat) pass.  Mosaic lowers jnp.repeat on the lane dim natively,
-    but only when C is a lane-aligned multiple of 128 (the (.., S2, C) ->
-    (.., S2*C) shape cast is otherwise unsupported); for unaligned C (the
-    final 4x CARAFE head has C=64) build the layout from per-slot lane
-    broadcasts instead."""
-    if C % 128 == 0:
-        return jnp.repeat(p_k, C, axis=-1)
+    jnp.repeat) pass.  jnp.repeat is also out: its Mosaic lowering needs a
+    (.., S2, C) -> (.., S2*C) shape cast that fails for lane-UNaligned C
+    (the final 4x head has C=64) and a 16-bit minor-dim insertion that
+    fails for bf16.  Per-slot lane broadcasts + concat lower correctly for
+    every (geometry, dtype) the model uses — verified on hardware in
+    tests/test_tpu_numerics.py."""
     S2 = p_k.shape[-1]
     tgt = p_k.shape[:-1] + (C,)
     return jnp.concatenate(

@@ -19,6 +19,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# remote TPU compiles run ~40 s each through the axon tunnel; the
+# persistent cache makes re-runs of this file near-instant
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import cswin_simam_unet_tpu.ops.carafe as oc
 import cswin_simam_unet_tpu.ops.pallas_carafe as pc
 from cswin_simam_unet_tpu.ops.attention import stripe_attention
@@ -41,19 +46,22 @@ def _rel_err(got, want):
     return np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12)
 
 
-# the model's two CARAFE geometries: decoder 2x upsamples (C=128 head) and
-# the final 4x head (C=64 — lane-UNaligned, exercises the broadcast path
-# of _expand_s)
+# the model's CARAFE geometries: the deepest decoder 2x upsample (C=256,
+# W=16 — narrow sublane tiles), a C=128 2x, and the final 4x head (C=64 —
+# lane-UNaligned, exercises the broadcast path of _expand_s)
 CARAFE_GEOMS = [(1, 16, 32, 128, 2), (2, 32, 32, 64, 4)]
+CARAFE_FWD_GEOMS = CARAFE_GEOMS + [(1, 16, 16, 256, 2)]
 
 
-@pytest.mark.parametrize("B,H,W,C,S", CARAFE_GEOMS)
-def test_carafe_forward_on_tpu(B, H, W, C, S):
-    x = _rand((B, H, W, C), 0)
-    enc = _rand((B, H, W, 9 * S * S), 1)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("B,H,W,C,S", CARAFE_FWD_GEOMS)
+def test_carafe_forward_on_tpu(B, H, W, C, S, dtype):
+    x = _rand((B, H, W, C), 0).astype(dtype)
+    enc = _rand((B, H, W, 9 * S * S), 1).astype(dtype)
     got = pc.carafe_reassemble_pallas(x, enc, S, 3)
     want = oc.carafe_reassemble(x, enc, S, 3)
-    assert _rel_err(got, want) < 1e-6
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    assert _rel_err(got, want) < tol
 
 
 @pytest.mark.parametrize("B,H,W,C,S", CARAFE_GEOMS)

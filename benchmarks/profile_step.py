@@ -27,7 +27,7 @@ def categorize(name: str) -> str:
     n = name.lower()
     if "pallas" in n or "attn" in n or "branch_attention" in n:
         return "pallas-attention"
-    if "carafe" in n:
+    if "carafe" in n or "upsample" in n:
         return "pallas-carafe"
     if "fusion" in n:
         return "fusion"

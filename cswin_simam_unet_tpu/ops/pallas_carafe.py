@@ -44,9 +44,9 @@ def _row_tile(H: int, W: int, C: int, S: int) -> int:
     """Pick TH so per-tile VMEM stays bounded (halo is single-row blocks, so
     live VMEM ~ TH * per_row + 2 rows; larger TH amortises the halo-row
     softmax recompute in the backward)."""
-    # TH sweep at the final-CARAFE geometry (benchmarks/micro_carafe.py):
-    # fwd+bwd 9.4 ms at TH=4 vs 10.1-10.8 at 2/8/16 — the 8 MB budget's
-    # TH=4 choice is the measured optimum.
+    # TH sweep at the final-CARAFE geometry (benchmarks/micro_carafe.py,
+    # MXU-indicator expansion): fwd+bwd 7.96 ms at TH=4, 12.5 at 8/16 —
+    # the 8 MB budget's TH=4 choice is the measured optimum.
     budget = 8 * 1024 * 1024
     per_row = W * (S * S * C + 9 * S * S) * 4 * 2
     for th in (8, 4, 2, 1):
@@ -118,11 +118,25 @@ def _expand_s(p_k, C: int):
     fails for bf16.  Per-slot lane broadcasts + concat lower correctly for
     every (geometry, dtype) the model uses — verified on hardware in
     tests/test_tpu_numerics.py."""
-    S2 = p_k.shape[-1]
-    tgt = p_k.shape[:-1] + (C,)
-    return jnp.concatenate(
-        [jnp.broadcast_to(p_k[..., s:s + 1], tgt) for s in range(S2)],
-        axis=-1)
+    if _INTERPRET:
+        return jnp.repeat(p_k, C, axis=-1)
+    R, W, S2 = p_k.shape
+    # expansion as an indicator matmul E[s, s*C + c] = 1: the MXU builds
+    # the s-major layout while the VPU does the useful FMA work.  Exact:
+    # 0/1 entries, bf16 products of bf16 values, f32 accumulate.
+    ind = (lax.broadcasted_iota(jnp.int32, (S2, S2 * C), 1) // C
+           == lax.broadcasted_iota(jnp.int32, (S2, S2 * C), 0)
+           ).astype(p_k.dtype)
+    # DEFAULT precision would round f32 p values to bf16 in the single MXU
+    # pass; HIGHEST keeps the expansion exact (bf16 operands are exact at
+    # DEFAULT, and HIGHEST does not lower for them)
+    prec = (lax.Precision.HIGHEST if p_k.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+    y = lax.dot_general(p_k.reshape(R * W, S2), ind,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+    return y.reshape(R, W, S2 * C).astype(p_k.dtype)
 
 
 def _tile_c(xk, S2: int):

@@ -29,6 +29,7 @@ import flax.linen as nn
 from cswin_simam_unet_tpu.models.layers import (
     CARAFE,
     CSWinBlock,
+    FusedLayerNorm,
     MergeBlock,
     dense_init,
 )
@@ -133,8 +134,8 @@ class CSWinUNet(nn.Module):
         if self.use_simam:
             img = simam(img)
         tokens = nhwc_to_tokens(img)
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                              name="embed_norm")(tokens)
+        tokens = FusedLayerNorm(dtype=self.dtype,
+                                name="embed_norm")(tokens)
         tokens = nn.Dropout(self.drop_rate,
                             deterministic=deterministic)(tokens)
 
@@ -150,9 +151,11 @@ class CSWinUNet(nn.Module):
             if not last:
                 skips.append(tokens)
                 tokens = MergeBlock(E * 2 ** (s + 1), use_simam=self.use_simam,
+                                    use_pallas=self.use_pallas,
                                     dtype=self.dtype, name=f"merge{s + 1}")(
                     tokens, resos[s], resos[s])
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
+        tokens = FusedLayerNorm(dtype=self.dtype,
+                                name="norm")(tokens)
 
         # ---- decoder (ref :653-672) ----
         for i in range(depth[3]):
@@ -174,8 +177,8 @@ class CSWinUNet(nn.Module):
                     name=f"stage_up{s + 1}_{i}",
                     **self._block_kw(s, resos[s], dpr[starts[s] + i]),
                 )(tokens, deterministic)
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                              name="norm_up")(tokens)
+        tokens = FusedLayerNorm(dtype=self.dtype,
+                                name="norm_up")(tokens)
 
         # ---- final 4x CARAFE + 1x1 bias-free head (ref :674-682) ----
         if self.use_pallas:

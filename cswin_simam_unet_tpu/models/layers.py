@@ -30,6 +30,40 @@ Dtype = Any
 dense_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class FusedLayerNorm(nn.Module):
+    """``nn.LayerNorm``-compatible LayerNorm (param names "scale"/"bias",
+    f32 fast-variance statistics), with an optional fused Pallas kernel.
+
+    Measured dead end (v5e, 512^2 CSWin step): the fused kernel
+    (ops/pallas_layernorm.py, hardware-parity-tested in
+    tests/test_tpu_numerics.py) is a net LOSS here — +6.7 ms/step when all
+    ~100 LNs use it (~40 us pallas dispatch each beats XLA's free fusion of
+    small LNs into neighbouring chains), and still +2 ms when only the
+    >=4M-element stage-1/2 LNs do (the custom-call boundary breaks XLA's
+    fusion of the LN into the qkv/MLP matmul epilogues).  So ``use_pallas``
+    deliberately defaults OFF and nothing sets it; the kernel is kept for
+    geometries where a standalone LN is not surrounded by fusable ops.
+    """
+
+    epsilon: float = 1e-5
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cswin_simam_unet_tpu.ops.pallas_layernorm import (
+            _ln_reference,
+            layer_norm,
+        )
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        x = x.astype(self.dtype)
+        if not self.use_pallas:
+            return _ln_reference(x, scale, bias, self.epsilon)
+        return layer_norm(x, scale, bias, self.epsilon)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm ``DropPath`` semantics).
 
@@ -152,7 +186,8 @@ class CSWinBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         C = self.dim
         last = self.last_stage or (self.reso == self.split_size)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = FusedLayerNorm(dtype=self.dtype,
+                           name="norm1")(x)
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=dense_init,
                        dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -180,7 +215,8 @@ class CSWinBlock(nn.Module):
                             name="proj")(attn_out)
         # NB: the reference defines proj_drop but never applies it (ref :366-368).
         x = x + DropPath(self.drop_path, name="drop_path")(attn_out, deterministic)
-        h2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h2 = FusedLayerNorm(dtype=self.dtype,
+                            name="norm2")(x)
         mlp_out = Mlp(int(C * self.mlp_ratio), C, drop=self.drop,
                       dtype=self.dtype, name="mlp")(h2, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
@@ -194,6 +230,7 @@ class MergeBlock(nn.Module):
 
     dim_out: int
     use_simam: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -205,7 +242,8 @@ class MergeBlock(nn.Module):
         if self.use_simam:
             img = simam(img)
         tokens = nhwc_to_tokens(img)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
+        return FusedLayerNorm(dtype=self.dtype,
+                              name="norm")(tokens)
 
 
 class PointwiseConv(nn.Module):

@@ -26,6 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import cswin_simam_unet_tpu.ops.carafe as oc
 import cswin_simam_unet_tpu.ops.pallas_carafe as pc
+import cswin_simam_unet_tpu.ops.pallas_layernorm as pln
 from cswin_simam_unet_tpu.ops.attention import stripe_attention
 from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
     stripe_attention_pallas_v2,
@@ -115,3 +116,31 @@ def test_stripe_attention_v2_on_tpu(H, W, hsp, wsp):
             q, k, v, kernel)
     for a, b, name in zip(g_pl, g_hi, ("dq", "dk", "dv", "dlepe")):
         assert _rel_err(a, b) < 1e-2, f"{name} mismatch on TPU"
+
+
+# (M, C) token geometries of every LN in the 512^2 flagship model
+LN_GEOMS = [(8 * 16384, 64), (8 * 4096, 128), (8 * 1024, 256), (8 * 256, 512)]
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("M,C", LN_GEOMS[:2] + LN_GEOMS[3:])
+def test_layernorm_on_tpu(M, C, dtype):
+    x = _rand((M // 256, 256, C), 0, 0.7).astype(dtype)
+    scale = _rand((C,), 1, 0.3).astype(jnp.float32) + 1.0
+    bias = _rand((C,), 2, 0.1).astype(jnp.float32)
+
+    out = pln.layer_norm(x, scale, bias, 1e-5)
+    want = pln._ln_reference(x, scale, bias, 1e-5)
+    assert _rel_err(out, want) < (1e-5 if dtype == jnp.float32 else 1e-2)
+
+    def f_pl(x, s, b):
+        return jnp.sum(jnp.sin(pln.layer_norm(x, s, b, 1e-5)))
+
+    def f_ref(x, s, b):
+        return jnp.sum(jnp.sin(pln._ln_reference(x, s, b, 1e-5)))
+
+    g_pl = jax.jit(jax.grad(f_pl, argnums=(0, 1, 2)))(x, scale, bias)
+    g_ref = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(x, scale, bias)
+    tol = 1e-4 if dtype == jnp.float32 else 2e-2
+    for a, b_, name in zip(g_pl, g_ref, ("dx", "dscale", "dbias")):
+        assert _rel_err(a, b_) < tol, f"{name} mismatch on TPU"

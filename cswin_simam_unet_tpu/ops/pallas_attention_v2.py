@@ -45,6 +45,12 @@ from cswin_simam_unet_tpu.ops.attention import stripe_attention
 
 _INTERPRET = False
 
+# tokens per grid tile (forward / backward); the backward keeps ~2.3x the
+# forward's live VMEM so it defaults to smaller tiles.  Swept in
+# benchmarks/micro_attention.py.
+_FWD_TOKENS = 2048
+_BWD_TOKENS = 1024
+
 
 def _tap_shift(x, dy: int, dx: int):
     """x shifted so result[y, x] = x[y + dy, x + dx], zero outside the
@@ -118,17 +124,23 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
     N = wh * ww
     kern = w_ref[:, :, 0, :].astype(jnp.float32)  # (3, 3, Cb)
 
+    # Matmuls run in the INPUT dtype with f32 accumulation (the MXU's
+    # native bf16 x bf16 -> f32 path); softmax statistics stay f32.  An
+    # all-f32 formulation forces fp32-contract matmuls (multi-pass on the
+    # MXU) — measured ~2x slower kernels at the bf16 flagship config.
+    work = q_ref.dtype
+    kern_w = kern.astype(work)
     for t in range(TW):
         sl = _window_slice(t, vertical, wh, ww)
-        qw = q_ref[sl].astype(jnp.float32)  # (wh, ww, Cb)
-        kw = k_ref[sl].astype(jnp.float32)
-        vw = v_ref[sl].astype(jnp.float32)
-        lepe = _lepe_window(vw, kern, wh, ww)
+        qw = q_ref[sl]  # (wh, ww, Cb), input dtype
+        kw = k_ref[sl]
+        vw = v_ref[sl]
+        lepe = _lepe_window(vw, kern_w, wh, ww)
 
         q2 = qw.reshape(N, Cb)
         k2 = kw.reshape(N, Cb)
         v2 = vw.reshape(N, Cb)
-        le2 = lepe.reshape(N, Cb)
+        le2 = lepe.reshape(N, Cb).astype(jnp.float32)
 
         if drop_threshold > 0:
             _seed_window(seed_ref, t, TW)
@@ -136,8 +148,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
         outs = []
         for h in range(heads):
             cs = slice(h * dh, (h + 1) * dh)
-            s = lax.dot_general(q2[:, cs] * scale, k2[:, cs],
-                                (((1,), (1,)), ((), ())),
+            s = lax.dot_general(q2[:, cs] * jnp.asarray(scale, work),
+                                k2[:, cs], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
@@ -145,7 +157,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
             if drop_threshold > 0:
                 keep = _dropout_mask(N, drop_threshold)
                 p = jnp.where(keep, p * inv_keep, 0.0)
-            o_h = jnp.dot(p, v2[:, cs],
+            o_h = jnp.dot(p.astype(work), v2[:, cs],
                           preferred_element_type=jnp.float32)
             outs.append(o_h + le2[:, cs])
         o2 = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
@@ -170,14 +182,18 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
     def _():
         dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
+    # dtype policy mirrors the forward: matmul operands in the input dtype
+    # (native MXU bf16 path), softmax/VJP statistics in f32
+    work = q_ref.dtype
+    kern_w = kern.astype(work)
     tap_acc = {tap: jnp.zeros((Cb,), jnp.float32)
                for tap in [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]}
     for t in range(TW):
         sl = _window_slice(t, vertical, wh, ww)
-        qw = q_ref[sl].astype(jnp.float32)
-        kw = k_ref[sl].astype(jnp.float32)
-        vw = v_ref[sl].astype(jnp.float32)
-        gw = do_ref[sl].astype(jnp.float32)
+        qw = q_ref[sl]
+        kw = k_ref[sl]
+        vw = v_ref[sl]
+        gw = do_ref[sl]
 
         q2 = qw.reshape(N, Cb)
         k2 = kw.reshape(N, Cb)
@@ -190,8 +206,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
         dqs, dks, dvs = [], [], []
         for h in range(heads):
             cs = slice(h * dh, (h + 1) * dh)
-            s = lax.dot_general(q2[:, cs] * scale, k2[:, cs],
-                                (((1,), (1,)), ((), ())),
+            s = lax.dot_general(q2[:, cs] * jnp.asarray(scale, work),
+                                k2[:, cs], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
@@ -203,14 +219,16 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
             else:
                 pd = p
             # dV = Pd^T dO
-            dv_h = lax.dot_general(pd, g_h, (((0,), (0,)), ((), ())),
+            dv_h = lax.dot_general(pd.astype(work), g_h,
+                                   (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
             # dPd = dO V^T; dP = mask-scaled dPd; dS = P*(dP - rowsum(dP*P))
             dp = lax.dot_general(g_h, v2[:, cs], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
             if drop_threshold > 0:
                 dp = jnp.where(keep, dp * inv_keep, 0.0)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ).astype(work)
             dq_h = jnp.dot(ds, k2[:, cs],
                            preferred_element_type=jnp.float32) * scale
             dk_h = lax.dot_general(ds, q2[:, cs], (((0,), (0,)), ((), ())),
@@ -224,11 +242,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
 
         dv2 = cat(dvs)
         # LePE enters additively per window: dv += conv-transpose taps of dO,
-        # dw[tap] += sum_window dO * shift(v, tap)
+        # dw[tap] += sum_window dO * shift(v, tap) (f32 accumulation)
         dv_img = dv2.reshape(wh, ww, Cb) + _lepe_window_transpose(
-            gw, kern, wh, ww)
+            gw, kern_w, wh, ww).astype(jnp.float32)
         for tap in _taps(wh, ww):
-            contrib = jnp.sum(gw * _tap_shift(vw, *tap), axis=(0, 1))
+            contrib = jnp.sum(gw * _tap_shift(vw, *tap), axis=(0, 1),
+                              dtype=jnp.float32)
             tap_acc[tap] = tap_acc[tap] + contrib
 
         dq_ref[sl] = cat(dqs).reshape(wh, ww, Cb).astype(dq_ref.dtype)
@@ -311,7 +330,7 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
     else:
         Ht, Wt, hspt, wspt = H, W, hsp, wsp
     vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt, wspt,
-                                                    2048)
+                                                    _FWD_TOKENS)
     threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):
@@ -351,9 +370,8 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
         lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
     else:
         Ht, Wt, hspt, wspt = H, W, hsp, wsp
-    # smaller tiles: backward keeps ~2.3x the forward's live VMEM
     vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt, wspt,
-                                                    1024)
+                                                    _BWD_TOKENS)
     threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):

@@ -23,6 +23,8 @@ before this rewrite.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import jax
 
@@ -54,15 +56,9 @@ def simam(x: jnp.ndarray, lam: float = 1e-4) -> jnp.ndarray:
     return _gate(x, mu, v, lam)
 
 
-def simam_flat(x_flat: jnp.ndarray, groups: int, lam: float = 1e-4) -> jnp.ndarray:
-    """SimAM over a *pre-pixel-shuffle* map: x_flat (B, H, W, G*C) where lane
-    slot g*C + c is sub-pixel g of real channel c.
-
-    Mathematically identical to ``pixel_unshuffle(simam(pixel_shuffle(x)))``:
-    per real channel c the statistics pool over (H, W, G) — computed here
-    with tiny cross-slot reductions instead of a full-resolution transpose
-    (the transpose costs ~7 ms at 512^2 batch 16; this costs microseconds).
-    """
+def _flat_stats(x_flat, groups: int):
+    """Per-real-channel pooled moments of a flat (B, H, W, G*C) map:
+    (mu, v) broadcast back to (B, 1, 1, G*C), plus the raw (B, C) stats."""
     B, H, W, GC = x_flat.shape
     C = GC // groups
     N = H * W * groups
@@ -76,4 +72,64 @@ def simam_flat(x_flat: jnp.ndarray, groups: int, lam: float = 1e-4) -> jnp.ndarr
     v_c = (sumsq_c - N * jnp.square(mu_c)) / n
     mu = jnp.tile(mu_c, (1, groups))[:, None, None, :]   # (B, 1, 1, G*C)
     v = jnp.tile(v_c, (1, groups))[:, None, None, :]
-    return _gate(x_flat, mu, v, lam)
+    return mu, v, N, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def simam_flat(x_flat: jnp.ndarray, groups: int, lam: float = 1e-4) -> jnp.ndarray:
+    """SimAM over a *pre-pixel-shuffle* map: x_flat (B, H, W, G*C) where lane
+    slot g*C + c is sub-pixel g of real channel c.
+
+    Mathematically identical to ``pixel_unshuffle(simam(pixel_shuffle(x)))``:
+    per real channel c the statistics pool over (H, W, G) — computed here
+    with tiny cross-slot reductions instead of a full-resolution transpose
+    (the transpose costs ~7 ms at 512^2 batch 16; this costs microseconds).
+
+    Hand-written VJP: XLA's autodiff of the gate materialised a full-size
+    channel-major f32 intermediate plus a layout copy (~2.1 ms/step at the
+    flagship geometry); the closed-form backward below is one reduction
+    pass (A_c, B_c) and one elementwise pass, all row-major.
+    """
+    return _simam_flat_fwd(x_flat, groups, lam)[0]
+
+
+def _simam_flat_fwd(x_flat, groups, lam):
+    mu, v, _, _ = _flat_stats(x_flat, groups)
+    return _gate(x_flat, mu, v, lam), (x_flat,)
+
+
+def _simam_flat_bwd(groups, lam, residuals, dy):
+    (x_flat,) = residuals
+    B, H, W, GC = x_flat.shape
+    C = GC // groups
+    mu, v, N, n = _flat_stats(x_flat, groups)
+    w = 1.0 / (4.0 * (v + lam))                   # (B, 1, 1, G*C)
+
+    xf = x_flat.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    xc = xf - mu
+
+    def gate_terms(xc):
+        e = jnp.square(xc) * w + 0.5
+        g = jax.nn.sigmoid(e)
+        return g, g * (1.0 - g)
+
+    # pass 1: per-channel reductions of t*(x-mu) and t*(x-mu)^2,
+    #   t = dy * x * g'(e)  — only (B, G*C) leaves this fusion
+    g, gp = gate_terms(xc)
+    t = dyf * xf * gp
+    A = jnp.sum(t * xc, axis=(1, 2))              # (B, G*C)
+    Bq = jnp.sum(t * jnp.square(xc), axis=(1, 2))
+    A_c = jnp.sum(A.reshape(B, groups, C), axis=1)
+    B_c = jnp.sum(Bq.reshape(B, groups, C), axis=1)
+    A_ = jnp.tile(A_c, (1, groups))[:, None, None, :]
+    B_ = jnp.tile(B_c, (1, groups))[:, None, None, :]
+
+    # pass 2: dx = dy*g + 2w*t*(x-mu) - 2w*A/N - 8w^2*B*(x-mu)/n
+    dx = (dyf * g + 2.0 * w * t * xc
+          - (2.0 * w / N) * A_
+          - (8.0 * jnp.square(w) / n) * B_ * xc)
+    return (dx.astype(x_flat.dtype),)
+
+
+simam_flat.defvjp(_simam_flat_fwd, _simam_flat_bwd)

@@ -1,6 +1,7 @@
 """SimAM energy-attention tests against a naive numpy implementation."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cswin_simam_unet_tpu.ops.simam import simam
@@ -58,3 +59,28 @@ def test_simam_is_parameter_free_scaling():
     x = jnp.asarray(np.random.RandomState(3).randn(1, 4, 4, 2).astype(np.float32))
     y = np.asarray(simam(x))
     assert np.all(np.abs(y) <= np.abs(np.asarray(x)) + 1e-7)
+
+
+def test_simam_flat_custom_vjp_matches_autodiff():
+    # simam_flat's hand-written backward (one reduction pass + one
+    # elementwise pass, all row-major) must equal autodiff of the
+    # shuffle->simam->unshuffle formulation
+    from cswin_simam_unet_tpu.ops.simam import simam_flat
+    from cswin_simam_unet_tpu.ops.pallas_carafe import (
+        _pixel_shuffle, _pixel_unshuffle)
+    rs = np.random.RandomState(8)
+    S, C = 2, 4
+    x_flat = jnp.asarray(rs.randn(2, 4, 4, S * S * C).astype(np.float32))
+    cot = jnp.asarray(rs.randn(2, 4, 4, S * S * C).astype(np.float32))
+
+    def f_flat(x):
+        return jnp.sum(simam_flat(x, groups=S * S) * cot)
+
+    def f_ref(x):
+        return jnp.sum(
+            _pixel_unshuffle(simam(_pixel_shuffle(x, S)), S) * cot)
+
+    g = jax.grad(f_flat)(x_flat)
+    gw = jax.grad(f_ref)(x_flat)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                               rtol=2e-4, atol=1e-5)

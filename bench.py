@@ -35,6 +35,11 @@ def main():
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
+    p.add_argument("--train-drops", action="store_true",
+                   help="use the reference CSWin TRAINING regularisation "
+                        "(drop/attn-drop/drop-path 0.3, "
+                        "train_cswinunet_segmentation.py:921-951) — "
+                        "exercises the in-kernel PRNG attention dropout")
     args = p.parse_args()
 
     import jax
@@ -74,10 +79,11 @@ def main():
         model = UNet(use_simam=True, dtype=dtype)
         opt = "adam"
     else:
+        dr = 0.3 if args.train_drops else 0.0
         model = CSWinUNet(
             img_size=img, use_simam=True, split_size=(1, 2, 8, 8),
-            num_classes=1, drop_rate=0.0, attn_drop_rate=0.0,
-            drop_path_rate=0.0, use_pallas=use_pallas, dtype=dtype)
+            num_classes=1, drop_rate=dr, attn_drop_rate=dr,
+            drop_path_rate=dr, use_pallas=use_pallas, dtype=dtype)
         opt = "adamw"
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, img, img, 3), opt, 1e-4, 1e-4)
@@ -93,11 +99,11 @@ def main():
         bs = batch_sharding(mesh, 4)
         images = jax.device_put(images, bs)
         masks = jax.device_put(masks, bs)
-        rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+        rng = jax.device_put(jax.random.key(1, impl='rbg'), replicated(mesh))
     else:
         images = jax.device_put(images)
         masks = jax.device_put(masks)
-        rng = jax.random.PRNGKey(1)
+        rng = jax.random.key(1, impl='rbg')
 
     t_compile = time.perf_counter()
     for i in range(max(1, args.warmup)):

@@ -66,6 +66,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def run_train(args) -> int:
+    # cold CSWin train-step compiles take ~20 min on TPU; cache them
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     overrides = {}
     if args.epochs is not None:
         overrides["num_epochs"] = args.epochs

@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache.
+
+A cold CSWin-SimAM-UNet train-step compile on TPU takes many minutes; the
+reference pays nothing comparable (torch eager), so an uncached CLI start is
+a real regression in user experience.  JAX's persistent compilation cache
+keys on the HLO, so re-running the same config skips compilation entirely
+while any model/config change recompiles exactly what changed.
+
+Enabled by default by the CLI and bench; opt out with
+``CSWIN_TPU_NO_COMPILE_CACHE=1`` or point ``JAX_COMPILATION_CACHE_DIR``
+somewhere else.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = "/tmp/jax_comp_cache"
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on the persistent compile cache (idempotent). Returns the dir."""
+    if os.environ.get("CSWIN_TPU_NO_COMPILE_CACHE"):
+        return None
+    cache_dir = (cache_dir
+                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or DEFAULT_CACHE_DIR)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

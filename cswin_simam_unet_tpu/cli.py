@@ -60,6 +60,13 @@ def build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--pallas", action="store_true",
                    help="use fused Pallas TPU kernels (auto-disabled off-TPU)")
     t.add_argument("--tensorboard-dir", default=None)
+    t.add_argument("--checkpoint-every", type=int, default=1,
+                   help="checkpoint period in epochs (0 = final epoch only; "
+                        "each save fetches ~full train state off-device)")
+    t.add_argument("--cache-decoded", action="store_true",
+                   help="cache decoded+resized samples in host RAM after "
+                        "epoch 1 (H*W*4 bytes/sample); identical values, "
+                        "skips the JPEG decode on later epochs")
 
     ls = sub.add_parser("list-configs", help="list available configs")
     return p
@@ -107,9 +114,11 @@ def run_train(args) -> int:
     train_idx, test_idx = train_test_indices(len(source), cfg.test_split,
                                              cfg.seed)
     train_loader = DataLoader(source, train_idx, cfg.batch_size, shuffle=True,
-                              num_workers=cfg.num_workers, seed=cfg.seed)
+                              num_workers=cfg.num_workers, seed=cfg.seed,
+                              cache_decoded=args.cache_decoded)
     test_loader = DataLoader(source, test_idx, cfg.batch_size, shuffle=False,
-                             num_workers=max(1, cfg.num_workers // 2))
+                             num_workers=max(1, cfg.num_workers // 2),
+                             cache_decoded=args.cache_decoded)
 
     model = build_model(cfg.model, cfg.image_size)
     state = create_train_state(
@@ -158,7 +167,8 @@ def run_train(args) -> int:
         augment=cfg.augment, plateau_factor=cfg.plateau_factor,
         plateau_patience=cfg.plateau_patience,
         plateau_min_lr=cfg.plateau_min_lr, seed=cfg.seed,
-        checkpoint_manager=store, tensorboard_dir=args.tensorboard_dir)
+        checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
+        tensorboard_dir=args.tensorboard_dir)
 
     history = scheduler = None
     start_epoch = 0

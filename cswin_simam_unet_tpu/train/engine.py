@@ -228,6 +228,11 @@ class FitConfig:
     seed: int = 42
     log_every: int = 0  # batches; 0 = epoch-level only
     checkpoint_manager: Any = None  # train.checkpoint.CheckpointStore
+    # Checkpoint period in epochs; the final epoch is always saved.  Each
+    # save fetches the full train state D2H (~280 MB for CSWin-UNet +
+    # AdamW) — every-epoch saving is the crash-safe default, but over a
+    # thin host<->TPU link it can rival the epoch's compute time.
+    checkpoint_every: int = 1
     tensorboard_dir: Optional[str] = None
     verbose: bool = True
 
@@ -334,7 +339,9 @@ def fit(model, state: TrainState, train_loader, test_loader,
                   f"IoU: {test_metrics['iou']:.4f}")
             print(f"  LR: {lr:.8f}")
 
-        if cfg.checkpoint_manager is not None:
+        is_last = epoch + 1 == cfg.num_epochs
+        due = cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
+        if cfg.checkpoint_manager is not None and (due or is_last):
             cfg.checkpoint_manager.save_epoch(
                 epoch + 1, state, scheduler, history,
                 test_dice=test_metrics["dice"], global_step=global_step)

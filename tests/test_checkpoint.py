@@ -81,6 +81,32 @@ def test_best_dice_tracking(tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_every_period(tmp_path):
+    """checkpoint_every=N saves only every Nth epoch plus the final one
+    (0 = final only); best-Dice meta still tracks every epoch's metric."""
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(2, 16, 16, 3) * 255).astype(np.uint8)
+    masks = (imgs[..., :1] > 128).astype(np.uint8) * 255
+    batches = [(imgs, masks)]
+
+    class Loader:
+        def __iter__(self):
+            return iter(batches)
+
+    def run(store, every, n_epochs=5):
+        model, state = _state()
+        cfg = FitConfig(num_epochs=n_epochs, augment=None, verbose=False,
+                        checkpoint_manager=store, checkpoint_every=every)
+        fit(model, state, Loader(), Loader(), cfg)
+        store.manager.wait_until_finished()
+        return sorted(store.manager.all_steps())
+
+    assert run(CheckpointStore(str(tmp_path / "p2"), max_to_keep=10),
+               every=2) == [2, 4, 5]
+    assert run(CheckpointStore(str(tmp_path / "p0"), max_to_keep=10),
+               every=0) == [5]
+
+
 def test_fault_injection_resume(tmp_path):
     """Train 3 epochs saving each; then restart from epoch 2's checkpoint
     and verify the continued run reproduces epoch 3 exactly (bitwise params

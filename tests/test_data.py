@@ -91,6 +91,21 @@ def test_loader_shuffle_deterministic(jpeg_dataset):
     assert not np.array_equal(b1[0], b1e2[0])
 
 
+def test_loader_cache_decoded_identical_values(jpeg_dataset):
+    """cache_decoded=True skips decode on later epochs but must never
+    change values — including the zero-mask fallback sample."""
+    img_dir, mask_dir, _ = jpeg_dataset
+    src = SegmentationDataSource(img_dir, mask_dir, image_size=(32, 32))
+    plain = DataLoader(src, batch_size=3, shuffle=True, seed=2)
+    cached = DataLoader(src, batch_size=3, shuffle=True, seed=2,
+                        cache_decoded=True)
+    for epoch in range(2):  # epoch 2 is served from the cache
+        for (pi, pm), (ci, cm) in zip(plain, cached):
+            np.testing.assert_array_equal(pi, ci)
+            np.testing.assert_array_equal(pm, cm)
+    assert cached._cache and plain._cache is None
+
+
 def test_decode_resize_roundtrip():
     cv2 = pytest.importorskip("cv2")
     rs = np.random.RandomState(0)

@@ -68,6 +68,24 @@ def build_argparser() -> argparse.ArgumentParser:
                         "epoch 1 (H*W*4 bytes/sample); identical values, "
                         "skips the JPEG decode on later epochs")
 
+    pr = sub.add_parser("predict", help="segment a directory of images "
+                                        "with trained weights")
+    pr.add_argument("--config", default="unet", choices=sorted(CONFIGS))
+    pr.add_argument("--weights", required=True,
+                    help="final-weights .msgpack artifact (from training) "
+                         "or a checkpoint directory (latest epoch used)")
+    pr.add_argument("--image-dir", required=True)
+    pr.add_argument("--output-dir", required=True)
+    pr.add_argument("--image-size", type=int, default=None)
+    pr.add_argument("--batch-size", type=int, default=8)
+    pr.add_argument("--threshold", type=float, default=0.5,
+                    help="binary probability threshold (the reference "
+                         "evaluates at 0.5); multi-class uses argmax")
+    pr.add_argument("--save-probs", action="store_true",
+                    help="also save float probabilities as .npy")
+    pr.add_argument("--bf16", action="store_true")
+    pr.add_argument("--pallas", action="store_true")
+
     ls = sub.add_parser("list-configs", help="list available configs")
     return p
 
@@ -198,8 +216,124 @@ def run_train(args) -> int:
     return 0
 
 
+def run_predict(args) -> int:
+    """Batch inference: jpgs in, uint8 mask pngs out.
+
+    The reference has no inference entry point at all — a trained model is
+    only usable by writing new code against the saved state_dict (ref
+    :537/:992).  Here ``predict`` closes the deploy loop: probabilities via
+    the model's reference-compatible ``predict`` (sigmoid/softmax), binary
+    masks thresholded at --threshold (the reference's eval threshold,
+    train_unet_segmentation.py:292), multi-class via argmax class ids.
+    """
+    from glob import glob as _glob
+
+    import jax.numpy as jnp
+
+    from cswin_simam_unet_tpu.data.dataset import decode_resize
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    overrides = {}
+    if args.image_size is not None:
+        overrides["image_size"] = args.image_size
+    if args.bf16:
+        overrides["model_dtype"] = "bfloat16"
+    if args.pallas and jax.devices()[0].platform == "tpu":
+        overrides["model_use_pallas"] = True
+    cfg = get_config(args.config, **overrides)
+    size = cfg.image_size
+    n_classes = cfg.model.n_classes
+
+    model = build_model(cfg.model, size)
+    x0 = jnp.zeros((1, size, size, cfg.model.in_channels), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x0, train=False))(
+        jax.random.PRNGKey(0))
+
+    from flax import serialization
+    weights = args.weights
+    if os.path.isdir(weights):  # checkpoint dir: restore latest epoch
+        from cswin_simam_unet_tpu.train.checkpoint import CheckpointStore
+        from cswin_simam_unet_tpu.train.engine import create_train_state
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            (1, size, size, cfg.model.in_channels),
+            optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
+            weight_decay=cfg.weight_decay)
+        store = CheckpointStore(weights)
+        state, _, _, epoch, _ = store.restore(state)
+        store.close()
+        print(f"Loaded checkpoint epoch {epoch} from {weights}")
+        variables = dict(variables, params=state.params)
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+    else:
+        template = {"params": jax.device_get(variables["params"])}
+        if "batch_stats" in variables:
+            template["batch_stats"] = jax.device_get(
+                variables["batch_stats"])
+        with open(weights, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        variables = dict(variables, **payload)
+        print(f"Loaded weights from {weights}")
+
+    @jax.jit
+    def predict_batch(images_u8):
+        probs = model.predict(variables, images_u8.astype(jnp.float32) / 255.0)
+        if n_classes == 1:
+            return (probs[..., 0] > args.threshold).astype(jnp.uint8) * 255, \
+                probs[..., 0]
+        return jnp.argmax(probs, axis=-1).astype(jnp.uint8), probs
+
+    paths = sorted(_glob(os.path.join(args.image_dir, "*.jpg")))
+    if not paths:
+        raise ValueError(f"no images found in directory: {args.image_dir}")
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    bs = args.batch_size
+    n_done = 0
+    for i in range(0, len(paths), bs):
+        chunk = paths[i:i + bs]
+        imgs = []
+        for p in chunk:
+            with open(p, "rb") as f:
+                arr = decode_resize(f.read(), (size, size))
+            if arr is None:
+                raise ValueError(f"undecodable image: {p}")
+            imgs.append(arr)
+        batch = np.stack(imgs)
+        pad = bs - len(chunk)
+        if pad:  # pad the tail so one compiled shape serves every batch
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+        masks, probs = predict_batch(batch)
+        masks = np.asarray(masks)[:len(chunk)]
+        for p, m in zip(chunk, masks):
+            base = os.path.splitext(os.path.basename(p))[0]
+            out_path = os.path.join(args.output_dir, f"{base}_mask.png")
+            _write_png(out_path, m)
+            n_done += 1
+        if args.save_probs:
+            pr = np.asarray(probs, np.float32)[:len(chunk)]
+            for p, q in zip(chunk, pr):
+                base = os.path.splitext(os.path.basename(p))[0]
+                np.save(os.path.join(args.output_dir, f"{base}_probs.npy"), q)
+    print(f"Wrote {n_done} masks to {args.output_dir}")
+    return 0
+
+
+def _write_png(path: str, mask_u8: np.ndarray) -> None:
+    try:
+        import cv2
+        cv2.imwrite(path, mask_u8)
+    except ImportError:
+        from PIL import Image
+        Image.fromarray(mask_u8).save(path)
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.command == "predict":
+        return run_predict(args)
     if args.command == "list-configs":
         for name in sorted(CONFIGS):
             c = CONFIGS[name]

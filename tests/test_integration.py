@@ -61,3 +61,18 @@ def test_cli_train_and_resume(dataset):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "Resumed from epoch 2" in r2.stdout
     assert "Epoch [3/3]" in r2.stdout
+
+    # predict: segment the same images with the final-weights artifact
+    import cv2
+    pred_dir = os.path.join(out_dir, "preds")
+    weights = os.path.join(out_dir, "unet_256_final_weights.msgpack")
+    r3 = _run_cli("predict", "--config", "unet_256", "--weights", weights,
+                  "--image-dir", img_dir, "--output-dir", pred_dir,
+                  "--image-size", "32", "--batch-size", "4")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "Wrote 10 masks" in r3.stdout
+    masks = sorted(os.listdir(pred_dir))
+    assert len(masks) == 10 and masks[0] == "im_00_mask.png"
+    m = cv2.imread(os.path.join(pred_dir, masks[0]), cv2.IMREAD_GRAYSCALE)
+    assert m is not None and m.shape == (32, 32)
+    assert set(np.unique(m)) <= {0, 255}

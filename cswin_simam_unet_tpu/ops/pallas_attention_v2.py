@@ -51,6 +51,18 @@ _INTERPRET = False
 _FWD_TOKENS = 2048
 _BWD_TOKENS = 1024
 
+# Vertical stripes: transpose the carved block in VMEM inside the kernel
+# instead of transposing the whole image in XLA.  Hypothesis: the XLA flip
+# costs an HBM round-trip per q/k/v/out (fwd) and q/k/v/do/dq/dk/dv (bwd)
+# — ~6 ms/step of copies at the 512^2 flagship — while an in-VMEM
+# transpose rides on-chip bandwidth.  MEASURED DEAD END (kept off): the
+# Mosaic sublane-dim transposes inside the kernel cost more than the HBM
+# copies they replace — flagship train step 133.9 -> 109.7 img/s/chip with
+# this on (2026-08-17, hardware-parity-verified path).  XLA's transposes
+# are already near memory-bandwidth-optimal and overlap with adjacent
+# compute; the kernel-internal shuffles serialize against the MXU work.
+_VMEM_FLIP = False
+
 
 def _tap_shift(x, dy: int, dx: int):
     """x shifted so result[y, x] = x[y + dy, x + dx], zero outside the
@@ -116,9 +128,16 @@ def _seed_window(seed_ref, t: int, TW: int):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
-                 vertical: bool, TW: int, wh: int, ww: int, heads: int,
-                 scale: float, drop_threshold: int, inv_keep: float):
-    """One image tile holding TW windows of shape (wh, ww)."""
+                 vertical: bool, vmem_flip: bool, TW: int, wh: int, ww: int,
+                 heads: int, scale: float, drop_threshold: int,
+                 inv_keep: float):
+    """One image tile holding TW windows of shape (wh, ww).
+
+    ``vmem_flip``: the block arrives as the *untransposed* vertical-stripe
+    carving (1, H, TW*wsp, Cb); one in-VMEM transpose turns it into the
+    horizontal-band layout ((TW*wh, ww, Cb) with wh=wsp, ww=H) that the
+    window loop consumes, and the output is transposed back on store.
+    """
     Cb = q_ref.shape[-1]
     dh = Cb // heads
     N = wh * ww
@@ -130,11 +149,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
     # MXU) — measured ~2x slower kernels at the bf16 flagship config.
     work = q_ref.dtype
     kern_w = kern.astype(work)
+    if vmem_flip:
+        qb = q_ref[0].transpose(1, 0, 2)
+        kb = k_ref[0].transpose(1, 0, 2)
+        vb = v_ref[0].transpose(1, 0, 2)
+    out_wins = []
     for t in range(TW):
-        sl = _window_slice(t, vertical, wh, ww)
-        qw = q_ref[sl]  # (wh, ww, Cb), input dtype
-        kw = k_ref[sl]
-        vw = v_ref[sl]
+        if vmem_flip:
+            rs = slice(t * wh, (t + 1) * wh)
+            qw, kw, vw = qb[rs], kb[rs], vb[rs]
+        else:
+            sl = _window_slice(t, vertical, wh, ww)
+            qw = q_ref[sl]  # (wh, ww, Cb), input dtype
+            kw = k_ref[sl]
+            vw = v_ref[sl]
         lepe = _lepe_window(vw, kern_w, wh, ww)
 
         q2 = qw.reshape(N, Cb)
@@ -161,12 +189,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
                           preferred_element_type=jnp.float32)
             outs.append(o_h + le2[:, cs])
         o2 = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
-        o_ref[sl] = o2.reshape(wh, ww, Cb).astype(o_ref.dtype)
+        o_win = o2.reshape(wh, ww, Cb).astype(o_ref.dtype)
+        if vmem_flip:
+            out_wins.append(o_win)
+        else:
+            o_ref[sl] = o_win
+    if vmem_flip:
+        o_all = out_wins[0] if TW == 1 else jnp.concatenate(out_wins, axis=0)
+        o_ref[0] = o_all.transpose(1, 0, 2)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, dw_ref, *,
-                     vertical: bool, TW: int, wh: int, ww: int, heads: int,
+                     vertical: bool, vmem_flip: bool, TW: int, wh: int,
+                     ww: int, heads: int,
                      scale: float, drop_threshold: int, inv_keep: float):
     """Fused backward for one image tile: recompute softmax (and the dropout
     mask, bitwise-identical via per-window re-seeding), then the softmax VJP
@@ -188,12 +224,22 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
     kern_w = kern.astype(work)
     tap_acc = {tap: jnp.zeros((Cb,), jnp.float32)
                for tap in [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]}
+    if vmem_flip:
+        qb = q_ref[0].transpose(1, 0, 2)
+        kb = k_ref[0].transpose(1, 0, 2)
+        vb = v_ref[0].transpose(1, 0, 2)
+        gb = do_ref[0].transpose(1, 0, 2)
+    dq_wins, dk_wins, dv_wins = [], [], []
     for t in range(TW):
-        sl = _window_slice(t, vertical, wh, ww)
-        qw = q_ref[sl]
-        kw = k_ref[sl]
-        vw = v_ref[sl]
-        gw = do_ref[sl]
+        if vmem_flip:
+            rs = slice(t * wh, (t + 1) * wh)
+            qw, kw, vw, gw = qb[rs], kb[rs], vb[rs], gb[rs]
+        else:
+            sl = _window_slice(t, vertical, wh, ww)
+            qw = q_ref[sl]
+            kw = k_ref[sl]
+            vw = v_ref[sl]
+            gw = do_ref[sl]
 
         q2 = qw.reshape(N, Cb)
         k2 = kw.reshape(N, Cb)
@@ -250,9 +296,25 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
                               dtype=jnp.float32)
             tap_acc[tap] = tap_acc[tap] + contrib
 
-        dq_ref[sl] = cat(dqs).reshape(wh, ww, Cb).astype(dq_ref.dtype)
-        dk_ref[sl] = cat(dks).reshape(wh, ww, Cb).astype(dk_ref.dtype)
-        dv_ref[sl] = dv_img.astype(dv_ref.dtype)
+        dq_win = cat(dqs).reshape(wh, ww, Cb).astype(dq_ref.dtype)
+        dk_win = cat(dks).reshape(wh, ww, Cb).astype(dk_ref.dtype)
+        dv_win = dv_img.astype(dv_ref.dtype)
+        if vmem_flip:
+            dq_wins.append(dq_win)
+            dk_wins.append(dk_win)
+            dv_wins.append(dv_win)
+        else:
+            dq_ref[sl] = dq_win
+            dk_ref[sl] = dk_win
+            dv_ref[sl] = dv_win
+
+    if vmem_flip:
+        def store(ref, wins):
+            all_w = wins[0] if TW == 1 else jnp.concatenate(wins, axis=0)
+            ref[0] = all_w.transpose(1, 0, 2)
+        store(dq_ref, dq_wins)
+        store(dk_ref, dk_wins)
+        store(dv_ref, dv_wins)
 
     dw_tile = jnp.stack(
         [tap_acc[(dy, dx)] for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
@@ -298,6 +360,25 @@ def _geometry(q, H, W, hsp, wsp, target_tokens):
     return vertical, wh, ww, N, TW, grid, spec
 
 
+def _geometry_vmem_flip(q, H, W, wsp, target_tokens):
+    """Vertical-stripe geometry carved UNTRANSPOSED (vmem_flip kernels).
+
+    Window shape in the kernel's transposed space is (wh, ww) = (wsp, H);
+    the HBM block is the untransposed (1, H, TW*wsp, Cb) column band, so
+    the sublane-dim constraint applies to TW*wsp (same rule as the old
+    vertical carving)."""
+    B, L, Cb = q.shape
+    wh, ww = wsp, H
+    N = wh * ww
+    n_windows = W // wsp
+    TW = _pick_tw(n_windows, N, wsp, W, True, target_tokens)
+    block = (1, H, TW * wsp, Cb)
+    imap = lambda b, i: (b, 0, i, 0)
+    grid = (B, n_windows // TW)
+    spec = pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+    return wh, ww, N, TW, grid, spec
+
+
 _SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 _W_SPEC = lambda Cb: pl.BlockSpec((3, 3, 1, Cb), lambda b, i: (0, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -324,13 +405,22 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
                      scale, attn_drop):
     B, L, Cb = q.shape
     flip = _transpose_if_vertical(H, W, hsp, wsp)
-    if flip:
-        Ht, Wt, hspt, wspt = W, H, wsp, hsp
+    vmem_flip = flip and _VMEM_FLIP
+    if vmem_flip:
         lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
+        Ht, Wt = H, W
+        vertical = False
+        wh, ww, N, TW, grid, spec = _geometry_vmem_flip(q, H, W, wsp,
+                                                        _FWD_TOKENS)
+        flip = False  # image stays untransposed in HBM
     else:
-        Ht, Wt, hspt, wspt = H, W, hsp, wsp
-    vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt, wspt,
-                                                    _FWD_TOKENS)
+        if flip:
+            Ht, Wt, hspt, wspt = W, H, wsp, hsp
+            lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
+        else:
+            Ht, Wt, hspt, wspt = H, W, hsp, wsp
+        vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt,
+                                                        wspt, _FWD_TOKENS)
     threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):
@@ -338,8 +428,8 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
         return x.transpose(0, 2, 1, 3) if flip else x
 
     kernel = functools.partial(
-        _attn_kernel, vertical=vertical, TW=TW, wh=wh, ww=ww,
-        heads=num_heads, scale=scale, drop_threshold=threshold,
+        _attn_kernel, vertical=vertical, vmem_flip=vmem_flip, TW=TW, wh=wh,
+        ww=ww, heads=num_heads, scale=scale, drop_threshold=threshold,
         inv_keep=inv_keep)
     out = pl.pallas_call(
         kernel,
@@ -364,14 +454,23 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
                      num_heads, scale, attn_drop):
     B, L, Cb = q.shape
     flip = _transpose_if_vertical(H, W, hsp, wsp)
+    vmem_flip = flip and _VMEM_FLIP
     orig_dtype = lepe_kernel.dtype
-    if flip:
-        Ht, Wt, hspt, wspt = W, H, wsp, hsp
+    if vmem_flip:
         lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
+        Ht, Wt = H, W
+        vertical = False
+        wh, ww, N, TW, grid, spec = _geometry_vmem_flip(q, H, W, wsp,
+                                                        _BWD_TOKENS)
+        flip = False  # image stays untransposed in HBM
     else:
-        Ht, Wt, hspt, wspt = H, W, hsp, wsp
-    vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt, wspt,
-                                                    _BWD_TOKENS)
+        if flip:
+            Ht, Wt, hspt, wspt = W, H, wsp, hsp
+            lepe_kernel = lepe_kernel.transpose(1, 0, 2, 3)
+        else:
+            Ht, Wt, hspt, wspt = H, W, hsp, wsp
+        vertical, wh, ww, N, TW, grid, spec = _geometry(q, Ht, Wt, hspt,
+                                                        wspt, _BWD_TOKENS)
     threshold, inv_keep = _drop_params(attn_drop)
 
     def img(x):
@@ -379,8 +478,8 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
         return x.transpose(0, 2, 1, 3) if flip else x
 
     kernel = functools.partial(
-        _attn_bwd_kernel, vertical=vertical, TW=TW, wh=wh, ww=ww,
-        heads=num_heads, scale=scale, drop_threshold=threshold,
+        _attn_bwd_kernel, vertical=vertical, vmem_flip=vmem_flip, TW=TW,
+        wh=wh, ww=ww, heads=num_heads, scale=scale, drop_threshold=threshold,
         inv_keep=inv_keep)
     dq, dk, dv, dw = pl.pallas_call(
         kernel,
@@ -403,6 +502,7 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
     )(img(q), img(k), img(v), lepe_kernel, seed, img(dout))
     if flip:
         dq, dk, dv = (x.transpose(0, 2, 1, 3) for x in (dq, dk, dv))
+    if flip or vmem_flip:  # lepe kernel taps were transposed on the way in
         dw = dw.transpose(1, 0, 2, 3)
     return (dq.reshape(B, L, Cb), dk.reshape(B, L, Cb),
             dv.reshape(B, L, Cb), dw.astype(orig_dtype))

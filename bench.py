@@ -35,11 +35,17 @@ def main():
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
-    p.add_argument("--train-drops", action="store_true",
+    p.add_argument("--train-drops", dest="train_drops", action="store_true",
+                   default=True,
                    help="use the reference CSWin TRAINING regularisation "
                         "(drop/attn-drop/drop-path 0.3, "
                         "train_cswinunet_segmentation.py:921-951) — "
-                        "exercises the in-kernel PRNG attention dropout")
+                        "exercises the in-kernel PRNG attention dropout. "
+                        "DEFAULT: this is the config the reference actually "
+                        "trains, so it is the honest headline")
+    p.add_argument("--no-train-drops", dest="train_drops",
+                   action="store_false",
+                   help="dropout-free variant (inference-style step)")
     args = p.parse_args()
 
     import jax

@@ -86,6 +86,19 @@ def build_argparser() -> argparse.ArgumentParser:
     pr.add_argument("--bf16", action="store_true")
     pr.add_argument("--pallas", action="store_true")
 
+    ex = sub.add_parser(
+        "export-torch",
+        help="export trained weights to a PyTorch state_dict loadable by "
+             "the original reference scripts (strict=True)")
+    ex.add_argument("--config", default="unet", choices=sorted(CONFIGS))
+    ex.add_argument("--weights", required=True,
+                    help="final-weights .msgpack artifact or a checkpoint "
+                         "directory (latest epoch used)")
+    ex.add_argument("--output", required=True,
+                    help=".pth output (torch.save format; falls back to "
+                         ".npz with a warning if torch is unavailable)")
+    ex.add_argument("--image-size", type=int, default=None)
+
     ls = sub.add_parser("list-configs", help="list available configs")
     return p
 
@@ -246,36 +259,7 @@ def run_predict(args) -> int:
     n_classes = cfg.model.n_classes
 
     model = build_model(cfg.model, size)
-    x0 = jnp.zeros((1, size, size, cfg.model.in_channels), jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, x0, train=False))(
-        jax.random.PRNGKey(0))
-
-    from flax import serialization
-    weights = args.weights
-    if os.path.isdir(weights):  # checkpoint dir: restore latest epoch
-        from cswin_simam_unet_tpu.train.checkpoint import CheckpointStore
-        from cswin_simam_unet_tpu.train.engine import create_train_state
-        state = create_train_state(
-            model, jax.random.PRNGKey(0),
-            (1, size, size, cfg.model.in_channels),
-            optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
-            weight_decay=cfg.weight_decay)
-        store = CheckpointStore(weights)
-        state, _, _, epoch, _ = store.restore(state)
-        store.close()
-        print(f"Loaded checkpoint epoch {epoch} from {weights}")
-        variables = dict(variables, params=state.params)
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-    else:
-        template = {"params": jax.device_get(variables["params"])}
-        if "batch_stats" in variables:
-            template["batch_stats"] = jax.device_get(
-                variables["batch_stats"])
-        with open(weights, "rb") as f:
-            payload = serialization.from_bytes(template, f.read())
-        variables = dict(variables, **payload)
-        print(f"Loaded weights from {weights}")
+    variables = _load_variables(model, cfg, size, args.weights)
 
     @jax.jit
     def predict_batch(images_u8):
@@ -321,6 +305,78 @@ def run_predict(args) -> int:
     return 0
 
 
+def _load_variables(model, cfg, size: int, weights: str) -> dict:
+    """Load model variables from a final-weights .msgpack or checkpoint dir."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    x0 = jnp.zeros((1, size, size, cfg.model.in_channels), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x0, train=False))(
+        jax.random.PRNGKey(0))
+    if os.path.isdir(weights):  # checkpoint dir: restore latest epoch
+        from cswin_simam_unet_tpu.train.checkpoint import CheckpointStore
+        from cswin_simam_unet_tpu.train.engine import create_train_state
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            (1, size, size, cfg.model.in_channels),
+            optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
+            weight_decay=cfg.weight_decay)
+        store = CheckpointStore(weights)
+        state, _, _, epoch, _ = store.restore(state)
+        store.close()
+        print(f"Loaded checkpoint epoch {epoch} from {weights}")
+        variables = dict(variables, params=state.params)
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+    else:
+        template = {"params": jax.device_get(variables["params"])}
+        if "batch_stats" in variables:
+            template["batch_stats"] = jax.device_get(
+                variables["batch_stats"])
+        with open(weights, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        variables = dict(variables, **payload)
+        print(f"Loaded weights from {weights}")
+    return variables
+
+
+def run_export_torch(args) -> int:
+    """Export trained weights as a reference-loadable torch state_dict.
+
+    The inverse of the parity importer: the produced file loads into the
+    original scripts' modules (train_unet_segmentation.py:221-250 /
+    train_cswinunet_segmentation.py:489-688) with strict=True, closing the
+    parity loop in the user direction (framework -> reference).
+    """
+    overrides = {}
+    if args.image_size is not None:
+        overrides["image_size"] = args.image_size
+    cfg = get_config(args.config, **overrides)
+    model = build_model(cfg.model, cfg.image_size)
+    variables = jax.device_get(
+        _load_variables(model, cfg, cfg.image_size, args.weights))
+
+    if cfg.model.family == "unet":
+        from cswin_simam_unet_tpu.compat import export_unet_variables
+        sd = export_unet_variables(variables)
+    else:
+        from cswin_simam_unet_tpu.compat import export_cswin_variables
+        sd = export_cswin_variables(variables, depth=cfg.model.depth)
+
+    try:
+        import torch
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                    for k, v in sd.items()}, args.output)
+        print(f"Wrote torch state_dict ({len(sd)} tensors) to {args.output}")
+    except ImportError:
+        out = args.output if args.output.endswith(".npz") \
+            else args.output + ".npz"
+        np.savez(out, **sd)
+        print(f"torch unavailable; wrote numpy archive to {out} "
+              f"(load and torch.save it on a torch machine)")
+    return 0
+
+
 def _write_png(path: str, mask_u8: np.ndarray) -> None:
     try:
         import cv2
@@ -334,6 +390,8 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if args.command == "predict":
         return run_predict(args)
+    if args.command == "export-torch":
+        return run_export_torch(args)
     if args.command == "list-configs":
         for name in sorted(CONFIGS):
             c = CONFIGS[name]

@@ -3,7 +3,7 @@
 Captures a jax.profiler trace of a few benchmark train steps and aggregates
 TPU-side op durations from the xplane proto (via jax.profiler.ProfileData),
 printing the top ops grouped by a coarse category so optimisation targets the
-真 bottleneck.  Usage:
+true bottleneck.  Usage:
 
     python benchmarks/profile_step.py [--batch 8] [--image-size 512]
         [--attn-drop 0.0] [--model cswin] [--steps 3]
@@ -87,7 +87,7 @@ def main():
         rs.randint(0, 256, (args.batch, img, img, 3), dtype=np.uint8))
     masks = jax.device_put(
         rs.randint(0, 2, (args.batch, img, img, 1), dtype=np.uint8) * 255)
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.key(1, impl='rbg')  # match engine.fit / bench.py hardware-RNG keys
 
     for _ in range(2):  # compile + warm
         state, metrics = step(state, images, masks, rng)

@@ -95,14 +95,18 @@ def simam_flat(x_flat: jnp.ndarray, groups: int, lam: float = 1e-4) -> jnp.ndarr
 
 def _simam_flat_fwd(x_flat, groups, lam):
     mu, v, _, _ = _flat_stats(x_flat, groups)
-    return _gate(x_flat, mu, v, lam), (x_flat,)
+    # Save the (B,1,1,G*C) stats (a few KB) instead of recomputing them in
+    # the backward: recomputation costs a full extra read pass over x_flat
+    # (268 MB at the flagship flat-head geometry).
+    return _gate(x_flat, mu, v, lam), (x_flat, mu, v)
 
 
 def _simam_flat_bwd(groups, lam, residuals, dy):
-    (x_flat,) = residuals
+    (x_flat, mu, v) = residuals
     B, H, W, GC = x_flat.shape
     C = GC // groups
-    mu, v, N, n = _flat_stats(x_flat, groups)
+    N = H * W * groups
+    n = N - 1
     w = 1.0 / (4.0 * (v + lam))                   # (B, 1, 1, G*C)
 
     xf = x_flat.astype(jnp.float32)

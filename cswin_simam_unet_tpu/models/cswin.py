@@ -136,8 +136,8 @@ class CSWinUNet(nn.Module):
         tokens = nhwc_to_tokens(img)
         tokens = FusedLayerNorm(dtype=self.dtype,
                                 name="embed_norm")(tokens)
-        tokens = nn.Dropout(self.drop_rate,
-                            deterministic=deterministic)(tokens)
+        from cswin_simam_unet_tpu.models.layers import FastDropout
+        tokens = FastDropout(self.drop_rate)(tokens, deterministic)
 
         # ---- encoder (ref :625-650); skips returned, not stored ----
         skips = []

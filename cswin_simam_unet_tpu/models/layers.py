@@ -64,6 +64,23 @@ class FusedLayerNorm(nn.Module):
         return layer_norm(x, scale, bias, self.epsilon)
 
 
+class FastDropout(nn.Module):
+    """``nn.Dropout``-compatible inverted dropout backed by
+    :func:`cswin_simam_unet_tpu.ops.dropout.fast_dropout` — u16 threshold
+    bits instead of one u32 per element, halving the mask generator's HBM
+    traffic on the big MLP hidden tensors (~1 ms/step at the 512^2
+    flagship).  Same rng collection ("dropout"), same train/eval gating."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        from cswin_simam_unet_tpu.ops.dropout import fast_dropout
+        return fast_dropout(self.make_rng("dropout"), x, self.rate)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm ``DropPath`` semantics).
 
@@ -99,10 +116,10 @@ class Mlp(nn.Module):
                      dtype=self.dtype, name="fc1")(x)
         # torch nn.GELU defaults to the exact erf form.
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = FastDropout(self.drop)(x, deterministic)
         x = nn.Dense(self.out_features, kernel_init=dense_init,
                      dtype=self.dtype, name="fc2")(x)
-        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = FastDropout(self.drop)(x, deterministic)
         return x
 
 
@@ -267,14 +284,18 @@ class PointwiseConv(nn.Module):
         C = x.shape[-1] // G
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, C, self.features), jnp.float32)
-        w = kernel[0, 0].astype(self.dtype)
         if G > 1:
             # pre-pixel-shuffle layout (lane g*C + c): the same 1x1 conv is
             # the block-diagonal dot kron(I_G, W) — keeps the (1,1,C,out)
             # param (importer-compatible) and avoids the (..., C)-minor
-            # reshape whose lane padding forces XLA layout copies.
-            w = jnp.kron(jnp.eye(G, dtype=self.dtype), w)
-        y = jnp.dot(x, w)
+            # reshape whose lane padding forces XLA layout copies.  The
+            # custom VJP keeps the weight gradient row-major too (XLA's
+            # dot-general dW materialises a channel-major transpose of the
+            # full-size flat tensor — see ops/flat_dot.py).
+            from cswin_simam_unet_tpu.ops.flat_dot import flat_grouped_dot
+            y = flat_grouped_dot(x.astype(self.dtype), kernel[0, 0], G)
+        else:
+            y = jnp.dot(x, kernel[0, 0].astype(self.dtype))
         if not self.use_bias:
             return (y, None) if self.defer_bias else y
         bias = self.param("bias", nn.initializers.zeros,

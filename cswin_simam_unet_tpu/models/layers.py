@@ -153,7 +153,13 @@ class LePEAttention(nn.Module):
         rng = None
         if self.attn_drop > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
-        if self.use_pallas:
+        # Width-1 stripes (stage 1 of the 512^2 flagship) degenerate the
+        # kernel's image carving into single-row windows; the XLA oracle's
+        # batched-matmul formulation is faster there (device-side xplane
+        # A/B, v5e, drop 0.3 fwd+bwd per branch: 1.13 ms XLA vs 1.48 ms
+        # Pallas at 128^2/Cb32; Pallas keeps stages 2-4 — 0.75 vs 0.79 and
+        # 0.25 vs 0.37; benchmarks/micro_attn_device.py).
+        if self.use_pallas and min(hsp, wsp) > 1:
             from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
                 stripe_attention_pallas_v2 as stripe_attention_pallas,
             )

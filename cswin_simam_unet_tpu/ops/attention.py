@@ -98,8 +98,16 @@ def stripe_attention(
                       preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
     if attn_drop > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_drop, attn.shape)
-        attn = jnp.where(keep, attn / (1.0 - attn_drop), 0.0).astype(attn.dtype)
+        # u16 threshold bits, not bernoulli (one u32/element): halves the
+        # mask generator's HBM traffic on the (B', h, N, N) score tensor —
+        # same convention as ops/dropout.fast_dropout and the Pallas
+        # kernel's in-kernel u32 threshold (keep-probability quantisation
+        # 2^-16; rescale uses the nominal rate).
+        bits = jax.random.bits(dropout_rng, attn.shape, jnp.uint16)
+        thr = min(int(round(attn_drop * 65536.0)), 65535)
+        inv_keep = jnp.asarray(1.0 / (1.0 - attn_drop), attn.dtype)
+        attn = jnp.where(bits >= jnp.uint16(thr), attn * inv_keep,
+                         jnp.zeros((), attn.dtype))
 
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh,
                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -121,7 +121,12 @@ def main():
     # Timing note: through the axon remote-TPU tunnel, block_until_ready can
     # return before execution completes — only a VALUE FETCH is a hard sync.
     # Slope method: time N1 and N2 step-chains each ended by a loss fetch;
-    # (t2 - t1) / (N2 - N1) cancels the fetch overhead.
+    # (t2 - t1) / (N2 - N1) cancels the fetch overhead.  Each chain is timed
+    # 3x and the MIN taken: one-off tunnel stalls (~300 ms observed) only ADD
+    # time, and a stall inside the short chain once produced a 1.45x
+    # overestimate of throughput (xplane device wall is the arbiter: the
+    # reported step time must match `benchmarks/profile_step.py`'s
+    # "module wall" within noise).
     def run_chain(n, state):
         t0 = time.perf_counter()
         metrics = None
@@ -132,9 +137,13 @@ def main():
 
     n1 = max(2, args.iters // 5)
     n2 = args.iters
-    t1, state, _ = run_chain(n1, state)
-    t2, state, loss = run_chain(n2, state)
-    per_step = (t2 - t1) / (n2 - n1)
+    t1s, t2s = [], []
+    for _ in range(3):
+        t1, state, _ = run_chain(n1, state)
+        t2, state, loss = run_chain(n2, state)
+        t1s.append(t1)
+        t2s.append(t2)
+    per_step = (min(t2s) - min(t1s)) / (n2 - n1)
     ips = batch / per_step
     ips_per_chip = ips / n_chips
     print(f"step time {per_step * 1e3:.1f} ms (slope over {n2}-{n1} steps); "

@@ -111,8 +111,23 @@ class CSWinUNet(nn.Module):
             dtype=self.dtype,
         )
 
+    # the final CARAFE's upsample factor (ref CARAFE4, :440-486); the flat
+    # head emits logits in its pre-pixel-shuffle layout
+    FLAT_HEAD_FACTOR = 4
+
+    @property
+    def supports_flat_logits(self) -> bool:
+        """The train/eval steps may request ``flat_logits=True``: logits in
+        the pre-pixel-shuffle layout (B, img/4, img/4, 16*num_classes), lane
+        slot ``s*num_classes + c``.  Loss and dice/IoU are permutation-
+        invariant global means, so the step unshuffles the targets (tiny)
+        instead of unscrambling full-resolution logits (saves the full-res
+        transpose + its layout copies every step on the Pallas path)."""
+        return True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 flat_logits: bool = False) -> jnp.ndarray:
         validate_geometry(self.img_size, self.split_size)
         validate_heads(self.embed_dim, self.num_heads)
         # trade FLOPs for HBM: recompute block activations in backward
@@ -198,7 +213,9 @@ class CSWinUNet(nn.Module):
             logits = PointwiseConv(self.num_classes, use_bias=False,
                                    flat_groups=S * S, dtype=self.dtype,
                                    name="output")(flat)
-            # (B, r0, r0, S^2*classes)
+            # (B, r0, r0, S^2*classes), lane s*classes + c
+            if flat_logits:
+                return logits
             logits = logits.reshape(B, r0, r0, S, S, self.num_classes)
             logits = logits.transpose(0, 1, 3, 2, 4, 5)
             return logits.reshape(B, self.img_size, self.img_size,
@@ -211,6 +228,11 @@ class CSWinUNet(nn.Module):
         from cswin_simam_unet_tpu.models.layers import PointwiseConv
         logits = PointwiseConv(self.num_classes, use_bias=False,
                                dtype=self.dtype, name="output")(img)
+        if flat_logits:
+            # match the Pallas flat head's layout (for path-equivalence
+            # tests and CPU runs of the flat training step)
+            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
+            return pixel_unshuffle(logits, self.FLAT_HEAD_FACTOR)
         return logits
 
     def predict(self, variables, x: jnp.ndarray) -> jnp.ndarray:

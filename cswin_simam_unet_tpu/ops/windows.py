@@ -49,6 +49,21 @@ def nhwc_to_tokens(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, H * W, C)
 
 
+def pixel_unshuffle(x: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(B, H*S, W*S, C) -> (B, H, W, S^2*C), lane slot ``s*C + c`` with
+    s-major sub-pixel index ``s = sy*S + sx`` — the inverse of the CARAFE
+    pixel-shuffle channel order (ref train_cswinunet_segmentation.py:410,432).
+
+    Used by the flat-logits training path: BCE/dice/IoU are global means over
+    pixels, so instead of unscrambling full-resolution logits every step the
+    train step unshuffles the (tiny) targets once to match the model's
+    pre-pixel-shuffle head layout."""
+    B, HS, WS, C = x.shape
+    H, W = HS // S, WS // S
+    out = x.reshape(B, H, S, W, S, C).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(B, H, W, S * S * C)
+
+
 def img2windows(x: jnp.ndarray, hsp: int, wsp: int) -> jnp.ndarray:
     """Partition an NHWC map into window token groups.
 

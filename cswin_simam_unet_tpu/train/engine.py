@@ -139,11 +139,22 @@ def _batch_metrics(logits, targets, n_classes: int):
     return d, iou
 
 
+def _flat_head(model, n_classes: int) -> bool:
+    """Use the model's pre-pixel-shuffle logits layout in the step?  BCE and
+    dice/IoU are global means over pixels (permutation-invariant), so the
+    step can unshuffle the small targets once instead of unscrambling
+    full-resolution logits every forward (binary heads only — multiclass
+    softmax needs a contiguous class axis)."""
+    return n_classes == 1 and getattr(model, "supports_flat_logits", False)
+
+
 def make_train_step(model, n_classes: int = 1,
                     augment: Optional[AugmentConfig] = None,
                     donate: bool = True) -> Callable:
     """Build the jitted train step: (state, images_u8, masks_u8, rng) ->
     (state, {'loss','dice','iou'})."""
+    flat = _flat_head(model, n_classes)
+    apply_kw = {"flat_logits": True} if flat else {}
 
     def step(state: TrainState, images_u8, masks_u8, rng):
         k_aug, k_drop = jax.random.split(rng)
@@ -151,6 +162,9 @@ def make_train_step(model, n_classes: int = 1,
         if augment is not None:
             images, masks = augment_batch(k_aug, images, masks, augment)
         targets = _finalize_targets(masks, n_classes)
+        if flat:
+            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
+            targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
 
         use_bn = state.batch_stats is not None
 
@@ -160,11 +174,12 @@ def make_train_step(model, n_classes: int = 1,
                 variables["batch_stats"] = state.batch_stats
                 logits, updates = state.apply_fn(
                     variables, images, train=True,
-                    rngs={"dropout": k_drop}, mutable=["batch_stats"])
+                    rngs={"dropout": k_drop}, mutable=["batch_stats"],
+                    **apply_kw)
                 new_bs = updates["batch_stats"]
             else:
                 logits = state.apply_fn(variables, images, train=True,
-                                        rngs={"dropout": k_drop})
+                                        rngs={"dropout": k_drop}, **apply_kw)
                 new_bs = None
             loss = segmentation_loss(logits, targets, n_classes)
             return loss, (logits, new_bs)
@@ -183,14 +198,19 @@ def make_train_step(model, n_classes: int = 1,
 
 def make_eval_step(model, n_classes: int = 1) -> Callable:
     """Build the jitted eval step: (state, images_u8, masks_u8) -> metrics."""
+    flat = _flat_head(model, n_classes)
+    apply_kw = {"flat_logits": True} if flat else {}
 
     def step(state: TrainState, images_u8, masks_u8):
         images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
         targets = _finalize_targets(masks, n_classes)
+        if flat:
+            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
+            targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        logits = state.apply_fn(variables, images, train=False)
+        logits = state.apply_fn(variables, images, train=False, **apply_kw)
         loss = segmentation_loss(logits, targets, n_classes)
         dice, iou = _batch_metrics(logits, targets, n_classes)
         return {"loss": loss, "dice": dice, "iou": iou}

@@ -190,3 +190,49 @@ def test_evaluate_uniform_mean():
     # uniform over batches regardless of batch size (reference quirk)
     np.testing.assert_allclose(
         got["loss"], (float(m1["loss"]) + float(m2["loss"])) / 2, rtol=1e-6)
+
+
+def test_flat_logits_step_equals_full_layout():
+    """The flat-head train/eval path (pre-pixel-shuffle logits + unshuffled
+    targets) must produce the same loss/metrics and BIT-IDENTICAL parameter
+    updates as the full-resolution layout: BCE/dice/IoU are global means, so
+    pixel permutation changes only fp reduce order (and the mean's gradient
+    is uniform, so backward is exactly invariant)."""
+    from cswin_simam_unet_tpu.models import CSWinUNet
+
+    # img 64 is the smallest geometry where every SimAM site sees >1 pixel
+    # (at img 32 the last merge outputs a 1x1 map -> n = H*W - 1 = 0 -> NaN)
+    kw = dict(img_size=64, embed_dim=16, depth=(1, 1, 1, 1),
+              split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2),
+              use_simam=True, drop_rate=0.1, attn_drop_rate=0.1,
+              drop_path_rate=0.1)
+
+    class NoFlat(CSWinUNet):
+        @property
+        def supports_flat_logits(self):
+            return False
+
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    masks = rs.randint(0, 2, (2, 64, 64, 1), dtype=np.uint8) * 255
+    rng = jax.random.PRNGKey(1)
+
+    results = []
+    for cls in (CSWinUNet, NoFlat):
+        model = cls(**kw)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, 64, 64, 3), "adamw", 1e-4, 1e-4)
+        m_ev = make_eval_step(model, 1)(state, images, masks)
+        state, m_tr = make_train_step(model, 1, augment=None)(
+            state, images, masks, rng)
+        results.append((state, m_tr, m_ev))
+    (s_flat, tr_flat, ev_flat), (s_full, tr_full, ev_full) = results
+    for k in tr_flat:
+        np.testing.assert_allclose(float(tr_flat[k]), float(tr_full[k]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(ev_flat[k]), float(ev_full[k]),
+                                   rtol=1e-5)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s_flat.params, s_full.params)
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0

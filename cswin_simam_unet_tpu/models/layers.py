@@ -314,6 +314,38 @@ class PointwiseConv(nn.Module):
         return y + b
 
 
+class FusedSimAMHead(nn.Module):
+    """Flat segmentation head: CARAFE out-conv bias + optional SimAM +
+    grouped 1x1 head conv, fused into one pass over the pre-pixel-shuffle
+    map (ops/pallas_simam_head.py).  Parameter-compatible with the unfused
+    ``PointwiseConv(features, name="output")`` head (kernel (1, 1, C, F))."""
+
+    features: int
+    groups: int
+    use_simam: bool = True
+    lam: float = 1e-4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_flat: jnp.ndarray, bias_vec: jnp.ndarray):
+        C = x_flat.shape[-1] // self.groups
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, C, self.features), jnp.float32)
+        if self.features > 8:
+            # the fused backward packs per-class dW partials into sublane
+            # rows (F <= 8); wider heads take the unfused chain
+            from cswin_simam_unet_tpu.ops.flat_dot import flat_grouped_dot
+            from cswin_simam_unet_tpu.ops.simam import simam_flat
+            xb = x_flat + jnp.tile(bias_vec, self.groups)
+            if self.use_simam:
+                xb = simam_flat(xb, self.groups, self.lam)
+            return flat_grouped_dot(xb, kernel[0, 0].astype(self.dtype),
+                                    self.groups)
+        from cswin_simam_unet_tpu.ops.pallas_simam_head import simam_head
+        return simam_head(x_flat, bias_vec, kernel[0, 0], self.groups,
+                          self.lam, self.use_simam)
+
+
 class CARAFE(nn.Module):
     """Content-aware reassembly upsampler (ref :391-486).
 
@@ -329,6 +361,8 @@ class CARAFE(nn.Module):
     use_simam: bool = False
     use_pallas: bool = False
     flat_output: bool = False  # return the pre-pixel-shuffle "scrambled" map
+    flat_raw: bool = False  # with flat_output: return (raw map, bias) for a
+    #                         fused downstream head (bias/SimAM NOT applied)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -366,6 +400,10 @@ class CARAFE(nn.Module):
                 # so the full-resolution pixel-shuffle transpose (and the
                 # layout copies of a (..., C)-minor reshape) never happen.
                 up = carafe_flat_pallas(y, enc, S, self.ksize)
+                if self.flat_raw:
+                    # bias + SimAM + head dot fuse downstream
+                    # (models.layers.FusedSimAMHead)
+                    return up, b
                 up = up + jnp.tile(b, S * S)
                 if self.use_simam:
                     from cswin_simam_unet_tpu.ops.simam import simam_flat

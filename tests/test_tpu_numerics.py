@@ -144,3 +144,34 @@ def test_layernorm_on_tpu(M, C, dtype):
     tol = 1e-4 if dtype == jnp.float32 else 2e-2
     for a, b_, name in zip(g_pl, g_ref, ("dx", "dscale", "dbias")):
         assert _rel_err(a, b_) < tol, f"{name} mismatch on TPU"
+
+
+# fused flat-head: gate both on and off, binary + small multiclass heads,
+# both compute dtypes (the f32 path must be exact vs a HIGHEST-precision
+# oracle; bf16 differs only at quantization level)
+@pytest.mark.parametrize("dtype,gate,F", [
+    (jnp.float32, True, 1), (jnp.float32, False, 1),
+    (jnp.bfloat16, True, 1), (jnp.bfloat16, False, 1),
+    (jnp.bfloat16, True, 3),
+])
+def test_simam_head_on_tpu(dtype, gate, F):
+    import cswin_simam_unet_tpu.ops.pallas_simam_head as sh
+    B, H, W, G, C = 2, 32, 32, 16, 64
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, H, W, G * C).astype(np.float32)).astype(dtype)
+    b = jnp.asarray(rs.randn(C).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rs.randn(C, F).astype(np.float32))
+    dy = jnp.asarray(rs.randn(B, H, W, G * F).astype(np.float32)).astype(dtype)
+    with jax.default_matmul_precision("highest"):
+        o1, vjp1 = jax.vjp(
+            jax.jit(lambda x, b, w: sh.simam_head(x, b, w, G, 1e-4, gate)),
+            x, b, w)
+        g1 = vjp1(dy)
+        o2, vjp2 = jax.vjp(
+            jax.jit(lambda x, b, w: sh._reference(x, b, w, G, 1e-4, gate)),
+            x, b, w)
+        g2 = vjp2(dy)
+    tol = 5e-6 if dtype == jnp.float32 else 2e-2
+    assert _rel_err(o1, o2) < tol
+    for a, c in zip(g1, g2):
+        assert _rel_err(a, c) < tol

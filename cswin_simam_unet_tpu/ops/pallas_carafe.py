@@ -24,6 +24,17 @@ Mosaic-layout rules honoured here: no integer indexing into >2D values (use
 static channel slices of flat layouts), no reshapes that split/merge an
 unaligned lane dim, dynamic slicing only through refs.
 
+Measured dead end (v5e, flagship geometry, 2026-08-18): a C-MAJOR flat
+layout (lane c*S^2+s) that shares ONE x-expansion matmul across all 9 taps
+(taps = shifts of the expanded tile), turns the backward's per-tap dp
+indicator matmuls into contiguous lane folds, and defers dx's s-reduction
+to a single end-of-tile matmul — 7x fewer MXU indicator ops on paper —
+was SLOWER in practice: bwd 4.4 -> 6.1 ms, fwd 2.24 -> 2.44 ms in-step.
+Mosaic overlaps the small indicator matmuls with VPU work almost fully,
+while the c-major version pays for deep serial fold chains and 4x more
+lane-concat traffic building p-expansions (64 copies of 16 lanes vs 16 of
+64).  The s-major layout below is the measured optimum so far.
+
 Assumes ksize == 3 (the model's only configuration).
 """
 

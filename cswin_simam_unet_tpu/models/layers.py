@@ -153,13 +153,14 @@ class LePEAttention(nn.Module):
         rng = None
         if self.attn_drop > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
-        # Width-1 stripes (stage 1 of the 512^2 flagship) degenerate the
-        # kernel's image carving into single-row windows; the XLA oracle's
-        # batched-matmul formulation is faster there (device-side xplane
-        # A/B, v5e, drop 0.3 fwd+bwd per branch: 1.13 ms XLA vs 1.48 ms
-        # Pallas at 128^2/Cb32; Pallas keeps stages 2-4 — 0.75 vs 0.79 and
-        # 0.25 vs 0.37; benchmarks/micro_attn_device.py).
-        if self.use_pallas and min(hsp, wsp) > 1:
+        # All geometries route to the v2 banded-batched kernel, including
+        # width-1 stripes: the earlier per-window-loop kernel lost to the
+        # XLA oracle there (1.48 vs 1.21 ms/branch), but batching the
+        # windows of a tile into one dot_general per head flipped it —
+        # in-step A/B at the 512^2 flagship: stage-1-on-XLA 147.1 vs
+        # stage-1-on-Pallas 152.3 img/s (benchmarks/micro_attn_device.py,
+        # bench.py, 2026-08-18).
+        if self.use_pallas:
             from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
                 stripe_attention_pallas_v2 as stripe_attention_pallas,
             )

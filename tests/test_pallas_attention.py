@@ -17,10 +17,14 @@ from cswin_simam_unet_tpu.ops.windows import stripe_geometry
 def interpret_mode():
     import cswin_simam_unet_tpu.ops.pallas_attention_v2 as pa2
     import cswin_simam_unet_tpu.ops.pallas_carafe as pc
-    olds = (pa._INTERPRET, pa2._INTERPRET, pc._INTERPRET)
-    pa._INTERPRET = pa2._INTERPRET = pc._INTERPRET = True
+    import cswin_simam_unet_tpu.ops.pallas_simam_head as sh
+    mods = (pa, pa2, pc, sh)
+    olds = tuple(m._INTERPRET for m in mods)
+    for m in mods:
+        m._INTERPRET = True
     yield
-    pa._INTERPRET, pa2._INTERPRET, pc._INTERPRET = olds
+    for m, old in zip(mods, olds):
+        m._INTERPRET = old
 
 
 def _rand(shape, seed):

@@ -74,42 +74,6 @@ def test_v2_gradients_match_xla(H, split, idx, heads):
                                    rtol=5e-5, atol=5e-5)
 
 
-@pytest.mark.parametrize("H,split,heads", [(8, 1, 1), (16, 4, 2)])
-def test_v2_vmem_flip_path_matches_xla(H, split, heads):
-    """The in-kernel VMEM-transpose vertical carving (off by default — a
-    measured perf dead end on hardware, see _VMEM_FLIP) must stay
-    numerically correct: fwd + grads vs the XLA oracle."""
-    W = H
-    C = 16
-    hsp, wsp = stripe_geometry(H, split, 0)  # vertical stripes
-    q, k, v = (_rand((1, H * W, C), s) for s in (11, 12, 13))
-    kernel = _rand((3, 3, 1, C), 14, 0.2)
-    kw = dict(H=H, W=W, hsp=hsp, wsp=wsp, num_heads=heads)
-
-    def loss(fn):
-        def f(q, k, v, kern):
-            o = fn(q, k, v, kern, **kw)
-            return jnp.sum(o * jnp.cos(o))
-        return f
-
-    old = pa2._VMEM_FLIP
-    pa2._VMEM_FLIP = True
-    try:
-        got = np.asarray(pa2.stripe_attention_pallas_v2(q, k, v, kernel,
-                                                        **kw))
-        g_got = jax.grad(loss(pa2.stripe_attention_pallas_v2),
-                         argnums=(0, 1, 2, 3))(q, k, v, kernel)
-    finally:
-        pa2._VMEM_FLIP = old
-    want = np.asarray(stripe_attention(q, k, v, kernel, **kw))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
-    g_want = jax.grad(loss(stripe_attention), argnums=(0, 1, 2, 3))(
-        q, k, v, kernel)
-    for a, b in zip(g_got, g_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-5, atol=5e-5)
-
-
 def test_v2_dropout_falls_back():
     H = W = 8
     C = 16

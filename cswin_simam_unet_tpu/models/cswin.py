@@ -203,18 +203,18 @@ class CSWinUNet(nn.Module):
             # that layout — same (1,1,E,classes) param, no (..., E)-minor
             # reshape (which forced XLA into full-res layout copies) — and
             # only the tiny logits tensor is unscrambled at the very end.
-            flat, head_bias = CARAFE(E, up_factor=4, use_simam=self.use_simam,
-                                     use_pallas=True, flat_output=True,
-                                     flat_raw=True,
-                                     dtype=self.dtype, name="upsample1")(
+            y, enc, head_bias = CARAFE(E, up_factor=4,
+                                       use_simam=self.use_simam,
+                                       use_pallas=True, head_precursor=True,
+                                       dtype=self.dtype, name="upsample1")(
                 tokens, resos[0], resos[0])
-            B = flat.shape[0]
+            B = y.shape[0]
             r0, S = resos[0], 4
-            from cswin_simam_unet_tpu.models.layers import FusedSimAMHead
-            logits = FusedSimAMHead(self.num_classes, groups=S * S,
-                                    use_simam=self.use_simam,
-                                    dtype=self.dtype, name="output")(
-                flat, head_bias)
+            from cswin_simam_unet_tpu.models.layers import CARAFEHead
+            logits = CARAFEHead(self.num_classes, up_factor=S,
+                                use_simam=self.use_simam,
+                                dtype=self.dtype, name="output")(
+                y, enc, head_bias)
             # (B, r0, r0, S^2*classes), lane s*classes + c
             if flat_logits:
                 return logits

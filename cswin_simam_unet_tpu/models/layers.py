@@ -347,6 +347,49 @@ class FusedSimAMHead(nn.Module):
                           self.lam, self.use_simam)
 
 
+class CARAFEHead(nn.Module):
+    """Fully-fused final head: CARAFE reassembly + out-conv bias + optional
+    SimAM + grouped 1x1 head conv as ONE custom-VJP op
+    (ops/pallas_carafe_head.py) — the backward's full-size ``dacc``
+    cotangent never round-trips HBM.  Consumes the ``head_precursor``
+    outputs of :class:`CARAFE` (low-res linear map, kernel logits, bias).
+    Parameter-compatible with the unfused ``PointwiseConv(features,
+    name="output")`` head (kernel (1, 1, C, F))."""
+
+    features: int
+    up_factor: int = 4
+    use_simam: bool = True
+    lam: float = 1e-4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, enc: jnp.ndarray,
+                 bias_vec: jnp.ndarray):
+        C = y.shape[-1]
+        G = self.up_factor ** 2
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, C, self.features), jnp.float32)
+        if self.features > 8:
+            # the fused backward packs per-class dW partials into sublane
+            # rows (F <= 8); wider heads take the two-op chain
+            from cswin_simam_unet_tpu.ops.flat_dot import flat_grouped_dot
+            from cswin_simam_unet_tpu.ops.pallas_carafe import (
+                carafe_flat_pallas,
+            )
+            from cswin_simam_unet_tpu.ops.simam import simam_flat
+            xb = carafe_flat_pallas(y, enc, self.up_factor, 3)
+            xb = xb + jnp.tile(bias_vec, G)
+            if self.use_simam:
+                xb = simam_flat(xb, G, self.lam)
+            return flat_grouped_dot(xb, kernel[0, 0].astype(self.dtype), G)
+        from cswin_simam_unet_tpu.ops.pallas_carafe_head import (
+            carafe_simam_head,
+        )
+        return carafe_simam_head(y, enc, bias_vec, kernel[0, 0],
+                                 self.up_factor, 3, self.lam,
+                                 self.use_simam)
+
+
 class CARAFE(nn.Module):
     """Content-aware reassembly upsampler (ref :391-486).
 
@@ -364,6 +407,9 @@ class CARAFE(nn.Module):
     flat_output: bool = False  # return the pre-pixel-shuffle "scrambled" map
     flat_raw: bool = False  # with flat_output: return (raw map, bias) for a
     #                         fused downstream head (bias/SimAM NOT applied)
+    head_precursor: bool = False  # return (linear low-res map, kernel
+    #                               logits, bias) — reassembly itself runs
+    #                               inside models.layers.CARAFEHead
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -388,6 +434,8 @@ class CARAFE(nn.Module):
         # 1 only over all 9 taps, padded ones included).
         y, b = PointwiseConv(self.dim_out, defer_bias=True,
                              dtype=self.dtype, name="out")(img)
+        if self.head_precursor:
+            return y, enc, b
         if self.use_pallas and self.ksize == 3:
             from cswin_simam_unet_tpu.ops.pallas_carafe import (
                 carafe_flat_pallas,

@@ -227,22 +227,17 @@ def _specs(B, H, W, GC, TH):
     return nR, x_spec, row_spec, vec, mat, part_spec
 
 
-def _fwd(x, bias, w, G, lam, gate):
+def head_fwd_pallas(x, mu, v, bias_t, kw, G, F, lam, gate,
+                    interpret=False):
+    """The forward pallas_call alone, with PRECOMPUTED stats (mu, v) as
+    (B, G*C) f32 and an already-tiled bias (G*C,).  Shared by
+    :func:`simam_head` and the fully-fused CARAFE head
+    (ops/pallas_carafe_head.py), whose reassembly kernel emits the moments."""
     B, H, W, GC = x.shape
-    C = GC // G
-    F = w.shape[-1]
-    if gate:
-        mu, v, _, _ = _flat_stats(x + jnp.tile(bias, G), G)
-        mu, v = mu[:, 0, 0, :], v[:, 0, 0, :]        # (B, GC) f32
-    else:
-        mu = v = jnp.zeros((B, GC), jnp.float32)
-    if _INTERPRET:
-        return _reference(x, bias, w, G, lam, gate), (x, bias, w, mu, v)
-    kw = _kron_eye(w, G, x.dtype)
     TH = _tile_h(H)
     nR, x_spec, row_spec, vec, mat, _ = _specs(B, H, W, GC, TH)
     kernel = functools.partial(_fwd_kernel, lam=lam, gate=gate, GF=G * F)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B, nR),
         in_specs=[x_spec, row_spec, row_spec, vec(GC), mat(GC, G * F)],
@@ -255,8 +250,60 @@ def _fwd(x, bias, w, G, lam, gate):
             flops=2 * B * H * W * GC * (G * F + 2),
             transcendentals=B * H * W * GC,
             bytes_accessed=2 * x.size + 2 * B * H * W * G * F),
-        interpret=False,
-    )(x, mu[:, None, :], v[:, None, :], jnp.tile(bias, G), kw)
+        interpret=interpret,
+    )(x, mu[:, None, :], v[:, None, :], bias_t, kw)
+
+
+def head_bwd1_pallas(x, dy, mu, v, bias_t, kwt, G, C, F, lam,
+                     interpret=False):
+    """The gate-path reduction pallas_call alone (pass 1 of the backward):
+    returns POOLED (A, Bq) as (B, G*C) f32 (per-real-channel sums re-tiled
+    across slots, the simam_flat pooling) and dW (C, F) f32."""
+    B, H, W, GC = x.shape
+    TH = _tile_h(H)
+    nR, x_spec, row_spec, vec, mat, part = _specs(B, H, W, GC, TH)
+    dy_spec = pl.BlockSpec((1, TH, W, G * F), lambda b, i: (b, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    k1 = functools.partial(_bwd1_kernel, lam=lam, G=G, C=C, F=F)
+    A_p, B_p, dW_p = pl.pallas_call(
+        k1,
+        grid=(B, nR),
+        in_specs=[x_spec, dy_spec, row_spec, row_spec, vec(GC),
+                  mat(G * F, GC)],
+        out_specs=[part(GC), part(GC), part(C)],
+        out_shape=[jax.ShapeDtypeStruct((B, nR, 8, GC), jnp.float32),
+                   jax.ShapeDtypeStruct((B, nR, 8, GC), jnp.float32),
+                   jax.ShapeDtypeStruct((B, nR, 8, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * W * GC,
+            transcendentals=B * H * W * GC,
+            bytes_accessed=2 * x.size),
+        interpret=interpret,
+    )(x, dy, mu[:, None, :], v[:, None, :], bias_t, kwt)
+    A = jnp.sum(A_p, axis=(1, 2))                # (B, GC)
+    Bq = jnp.sum(B_p, axis=(1, 2))
+    # pool the per-slot partials per real channel, re-tile (simam_flat)
+    A = jnp.tile(jnp.sum(A.reshape(B, G, C), axis=1), (1, G))
+    Bq = jnp.tile(jnp.sum(Bq.reshape(B, G, C), axis=1), (1, G))
+    dW = jnp.sum(dW_p, axis=(0, 1))[:F, :].T       # rows f -> (C, F)
+    return A, Bq, dW
+
+
+def _fwd(x, bias, w, G, lam, gate):
+    B, H, W, GC = x.shape
+    C = GC // G
+    F = w.shape[-1]
+    if gate:
+        mu, v, _, _ = _flat_stats(x + jnp.tile(bias, G), G)
+        mu, v = mu[:, 0, 0, :], v[:, 0, 0, :]        # (B, GC) f32
+    else:
+        mu = v = jnp.zeros((B, GC), jnp.float32)
+    if _INTERPRET:
+        return _reference(x, bias, w, G, lam, gate), (x, bias, w, mu, v)
+    kw = _kron_eye(w, G, x.dtype)
+    out = head_fwd_pallas(x, mu, v, jnp.tile(bias, G), kw, G, F, lam, gate)
     return out, (x, bias, w, mu, v)
 
 
@@ -280,30 +327,7 @@ def _bwd(G, lam, gate, residuals, dy):
     n = N - 1
 
     if gate:
-        k1 = functools.partial(_bwd1_kernel, lam=lam, G=G, C=C, F=F)
-        A_p, B_p, dW_p = pl.pallas_call(
-            k1,
-            grid=(B, nR),
-            in_specs=[x_spec, dy_spec, row_spec, row_spec, vec(GC),
-                      mat(G * F, GC)],
-            out_specs=[part(GC), part(GC), part(C)],
-            out_shape=[jax.ShapeDtypeStruct((B, nR, 8, GC), jnp.float32),
-                       jax.ShapeDtypeStruct((B, nR, 8, GC), jnp.float32),
-                       jax.ShapeDtypeStruct((B, nR, 8, C), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            cost_estimate=pl.CostEstimate(
-                flops=10 * B * H * W * GC,
-                transcendentals=B * H * W * GC,
-                bytes_accessed=2 * x.size),
-            interpret=False,
-        )(x, dy, mu[:, None, :], v[:, None, :], bias_t, kwt)
-        A = jnp.sum(A_p, axis=(1, 2))                # (B, GC)
-        Bq = jnp.sum(B_p, axis=(1, 2))
-        # pool the per-slot partials per real channel, re-tile (simam_flat)
-        A = jnp.tile(jnp.sum(A.reshape(B, G, C), axis=1), (1, G))
-        Bq = jnp.tile(jnp.sum(Bq.reshape(B, G, C), axis=1), (1, G))
-        dW = jnp.sum(dW_p, axis=(0, 1))[:F, :].T       # rows f -> (C, F)
+        A, Bq, dW = head_bwd1_pallas(x, dy, mu, v, bias_t, kwt, G, C, F, lam)
 
         k2 = functools.partial(_bwd2_kernel, lam=lam, G=G, F=F, N=N, n=n)
         dx, db_p = pl.pallas_call(

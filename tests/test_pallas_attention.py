@@ -17,8 +17,9 @@ from cswin_simam_unet_tpu.ops.windows import stripe_geometry
 def interpret_mode():
     import cswin_simam_unet_tpu.ops.pallas_attention_v2 as pa2
     import cswin_simam_unet_tpu.ops.pallas_carafe as pc
+    import cswin_simam_unet_tpu.ops.pallas_carafe_head as ch
     import cswin_simam_unet_tpu.ops.pallas_simam_head as sh
-    mods = (pa, pa2, pc, sh)
+    mods = (pa, pa2, pc, ch, sh)
     olds = tuple(m._INTERPRET for m in mods)
     for m in mods:
         m._INTERPRET = True

@@ -149,6 +149,40 @@ def test_layernorm_on_tpu(M, C, dtype):
 # fused flat-head: gate both on and off, binary + small multiclass heads,
 # both compute dtypes (the f32 path must be exact vs a HIGHEST-precision
 # oracle; bf16 differs only at quantization level)
+# fully-fused CARAFE head (reassembly + bias + SimAM + head dot, one
+# custom-VJP op): the flagship S=4/C=64 geometry in both dtypes, gate on
+# and off, plus a multiclass head — fwd and all four cotangents vs the
+# HIGHEST-precision XLA oracle
+@pytest.mark.parametrize("dtype,gate,F", [
+    (jnp.float32, True, 1), (jnp.float32, False, 1),
+    (jnp.bfloat16, True, 1), (jnp.bfloat16, True, 4),
+])
+def test_carafe_head_on_tpu(dtype, gate, F):
+    import cswin_simam_unet_tpu.ops.pallas_carafe_head as ch
+    B, H, W, C, S = 2, 32, 32, 64, 4
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32)).astype(dtype)
+    enc = jnp.asarray(
+        rs.randn(B, H, W, 9 * S * S).astype(np.float32)).astype(dtype)
+    b = jnp.asarray(rs.randn(C).astype(np.float32) * 0.1).astype(dtype)
+    w = jnp.asarray(rs.randn(C, F).astype(np.float32))
+    dy = jnp.asarray(
+        rs.randn(B, H, W, S * S * F).astype(np.float32)).astype(dtype)
+    with jax.default_matmul_precision("highest"):
+        o1, vjp1 = jax.vjp(
+            jax.jit(lambda x, enc, b, w: ch.carafe_simam_head(
+                x, enc, b, w, S, 3, 1e-4, gate)), x, enc, b, w)
+        g1 = vjp1(dy)
+        o2, vjp2 = jax.vjp(
+            jax.jit(lambda x, enc, b, w: ch._reference(
+                x, enc, b, w, S, 3, 1e-4, gate)), x, enc, b, w)
+        g2 = vjp2(dy)
+    tol = 5e-6 if dtype == jnp.float32 else 2e-2
+    assert _rel_err(o1, o2) < tol
+    for a, c, name in zip(g1, g2, ("dx", "denc", "dbias", "dw")):
+        assert _rel_err(a, c) < tol, f"{name} mismatch on TPU"
+
+
 @pytest.mark.parametrize("dtype,gate,F", [
     (jnp.float32, True, 1), (jnp.float32, False, 1),
     (jnp.bfloat16, True, 1), (jnp.bfloat16, False, 1),

@@ -158,11 +158,18 @@ def make_train_step(model, n_classes: int = 1,
 
     def step(state: TrainState, images_u8, masks_u8, rng):
         k_aug, k_drop = jax.random.split(rng)
+        if flat and augment is None:
+            # unshuffle the targets while still uint8: same values (scaling
+            # is elementwise), 4x less transpose traffic and no full-res f32
+            # intermediate.  With augmentation the masks must stay at image
+            # resolution until after the paired transform.
+            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
+            masks_u8 = pixel_unshuffle(masks_u8, model.FLAT_HEAD_FACTOR)
         images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
         if augment is not None:
             images, masks = augment_batch(k_aug, images, masks, augment)
         targets = _finalize_targets(masks, n_classes)
-        if flat:
+        if flat and augment is not None:
             from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
             targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
 
@@ -202,11 +209,14 @@ def make_eval_step(model, n_classes: int = 1) -> Callable:
     apply_kw = {"flat_logits": True} if flat else {}
 
     def step(state: TrainState, images_u8, masks_u8):
+        if flat:
+            # eval never augments: unshuffle the uint8 targets up front
+            # (same values as unshuffling the scaled f32 masks, 4x less
+            # transpose traffic)
+            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
+            masks_u8 = pixel_unshuffle(masks_u8, model.FLAT_HEAD_FACTOR)
         images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
         targets = _finalize_targets(masks, n_classes)
-        if flat:
-            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
-            targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats

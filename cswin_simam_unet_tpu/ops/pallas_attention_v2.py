@@ -60,9 +60,13 @@ from cswin_simam_unet_tpu.ops.attention import stripe_attention
 
 _INTERPRET = False
 
-# tokens per grid tile (forward / backward); the backward keeps ~2.3x the
-# forward's live VMEM so it defaults to smaller tiles.  Swept in
-# benchmarks/micro_attention.py / micro_attn_device.py.
+# tokens per grid tile (forward / backward).  Swept IN-STEP on hardware
+# (flagship 512^2 training config, 2026-08-18): (2048, 1024) 152.7 img/s,
+# (4096, 2048) 150.8, (4096, 8192) 151.1.  NB the dropout-free MICRO sweep
+# said the opposite (stage-3 fwd+bwd 0.126 -> 0.081 ms/block at bwd 8192)
+# — with in-kernel dropout active the per-(window, head) PRNG reseed chain
+# grows with TW per step and erases the launch-overhead saving, so the
+# in-step numbers are the arbiter.
 _FWD_TOKENS = 2048
 _BWD_TOKENS = 1024
 
@@ -126,24 +130,29 @@ def _drop_bits(N: int):
     return pltpu.bitcast(pltpu.prng_random_bits((N, N)), jnp.uint32)
 
 
-def _seed_window(seed_ref, t: int, TW: int, h: int, heads: int):
-    """Re-seed the PRNG per (batch, global window, head) so the draw stream
-    is independent of tile width and loop order — forward and backward may
-    tile differently yet must regenerate identical masks.  Mosaic accepts
-    at most two seed values, so batch/window/head mix into one."""
-    widx = pl.program_id(1) * TW + t
-    pltpu.prng_seed(seed_ref[0],
-                    (pl.program_id(0) * 1_000_003 + widx) * 31 + h)
+def _seed_window(seed_ref, t: int, TW: int, h: int, nw: int):
+    """Re-seed the PRNG per (batch, in-batch window, head) so the draw
+    stream is independent of tile width and loop order — forward and
+    backward may tile differently (and tiles may SPAN batch items on the
+    flattened grid) yet must regenerate identical masks.  The grid is flat
+    over batch*windows; (batch, window) are recovered from the global
+    window index, keeping the streams bitwise those of the per-batch grid.
+    Mosaic accepts at most two seed values, so batch/window/head mix into
+    one."""
+    g = pl.program_id(0) * TW + t
+    b = g // nw
+    widx = g % nw
+    pltpu.prng_seed(seed_ref[0], (b * 1_000_003 + widx) * 31 + h)
 
 
-def _stacked_masks(seed_ref, TW: int, N: int, h: int, heads: int,
+def _stacked_masks(seed_ref, TW: int, N: int, h: int, nw: int,
                    threshold: int):
     """TW per-window dropout masks for head h, drawn with per-window seeds
     (tiling-independent streams); raw u32 bits are stacked and compared
     once (stacking i1 vectors is Mosaic-fragile)."""
     bits = []
     for t in range(TW):
-        _seed_window(seed_ref, t, TW, h, heads)
+        _seed_window(seed_ref, t, TW, h, nw)
         bits.append(_drop_bits(N))
     stacked = jnp.stack(bits, axis=0) if TW > 1 else bits[0][None]
     return stacked >= jnp.uint32(threshold)
@@ -158,9 +167,12 @@ def _bdot(a, b, contract_a: int, contract_b: int):
 
 def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
                  TW: int, wh: int, W: int, heads: int, scale: float,
-                 drop_threshold: int, inv_keep: float):
+                 drop_threshold: int, inv_keep: float, nw: int):
     """One block of TW full-width band windows, attention batched over
-    windows per head."""
+    windows per head.  The grid is FLAT over batch*windows — windows are
+    independent, so a tile may span batch items; fewer, fatter grid steps
+    amortise the fixed per-step pipeline cost that dominated the small
+    stage geometries."""
     Cb = q_ref.shape[-1]
     dh = Cb // heads
     N = wh * W
@@ -171,9 +183,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
     # all-f32 formulation forces fp32-contract matmuls (multi-pass on the
     # MXU) — measured ~2x slower kernels at the bf16 flagship config.
     work = q_ref.dtype
-    qb = q_ref[0]  # (TW, N, Cb)
-    kb = k_ref[0]
-    vb = v_ref[0]
+    qb = q_ref[...]  # (TW, N, Cb)
+    kb = k_ref[...]
+    vb = v_ref[...]
     lepe = _lepe_band(vb, kern.astype(work), wh, W).astype(jnp.float32)
 
     outs = []
@@ -184,18 +196,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, o_ref, *,
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if drop_threshold > 0:
-            keep = _stacked_masks(seed_ref, TW, N, h, heads, drop_threshold)
+            keep = _stacked_masks(seed_ref, TW, N, h, nw, drop_threshold)
             p = jnp.where(keep, p * inv_keep, 0.0)
         o_h = _bdot(p.astype(work), vb[:, :, cs], 2, 1)
         outs.append(o_h + lepe[:, :, cs])
     o2 = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
-    o_ref[0] = o2.astype(o_ref.dtype)
+    o_ref[...] = o2.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, dw_ref, *,
                      TW: int, wh: int, W: int, heads: int, scale: float,
-                     drop_threshold: int, inv_keep: float):
+                     drop_threshold: int, inv_keep: float, nw: int):
     """Fused backward for one band block: recompute softmax (and the dropout
     masks, bitwise-identical via per-(window, head) re-seeding), then the
     softmax VJP and the LePE transpose; dw accumulates across the grid."""
@@ -204,7 +216,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
     N = wh * W
     kern = w_ref[:, :, 0, :].astype(jnp.float32)  # (3, 3, Cb)
 
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first = pl.program_id(0) == 0
 
     @pl.when(first)
     def _():
@@ -212,10 +224,10 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
 
     work = q_ref.dtype
     kern_w = kern.astype(work)
-    qb = q_ref[0]
-    kb = k_ref[0]
-    vb = v_ref[0]
-    gb = do_ref[0]
+    qb = q_ref[...]
+    kb = k_ref[...]
+    vb = v_ref[...]
+    gb = do_ref[...]
 
     dqs, dks, dvs = [], [], []
     for h in range(heads):
@@ -226,7 +238,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         g_h = gb[:, :, cs]
         if drop_threshold > 0:
-            keep = _stacked_masks(seed_ref, TW, N, h, heads, drop_threshold)
+            keep = _stacked_masks(seed_ref, TW, N, h, nw, drop_threshold)
             pd = jnp.where(keep, p * inv_keep, 0.0)
         else:
             pd = p
@@ -260,9 +272,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, w_ref, seed_ref, do_ref,
     dw_tile = jnp.stack(tap_cols, axis=0).reshape(3, 3, Cb)
     dw_ref[:, :, 0, :] += dw_tile
 
-    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
-    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[...] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 def _pick_tw(n_windows: int, N: int, target_tokens: int) -> int:
@@ -277,19 +289,22 @@ def _pick_tw(n_windows: int, N: int, target_tokens: int) -> int:
 
 
 def _geometry(B, H, W, wh, Cb, target_tokens):
-    """Band-window geometry: (1, TW, N, Cb) blocks of the FREE reshape
-    (B, H, W, Cb) -> (B, n_windows, N, Cb)."""
+    """Band-window geometry: (TW, N, Cb) blocks of the FREE reshape
+    (B, H, W, Cb) -> (B*n_windows, N, Cb).  The grid is FLAT over
+    batch*windows so a tile can span batch items — at the deep stages
+    (few windows per image) a per-batch grid left tiles of 1-4 windows
+    whose fixed per-step pipeline cost dominated the kernel."""
     N = wh * W
     n_windows = H // wh
-    TW = _pick_tw(n_windows, N, target_tokens)
-    spec = pl.BlockSpec((1, TW, N, Cb), lambda b, i: (b, i, 0, 0),
+    TW = _pick_tw(B * n_windows, N, target_tokens)
+    spec = pl.BlockSpec((TW, N, Cb), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    grid = (B, n_windows // TW)
+    grid = (B * n_windows // TW,)
     return N, n_windows, TW, grid, spec
 
 
 _SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
-_W_SPEC = lambda Cb: pl.BlockSpec((3, 3, 1, Cb), lambda b, i: (0, 0, 0, 0),
+_W_SPEC = lambda Cb: pl.BlockSpec((3, 3, 1, Cb), lambda i: (0, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
 
 
@@ -324,17 +339,17 @@ def _branch_fwd_impl(q, k, v, lepe_kernel, seed, H, W, hsp, wsp, num_heads,
         x = x.reshape(B, H, W, Cb)
         if flip:
             x = x.transpose(0, 2, 1, 3)
-        return x.reshape(B, n_windows, N, Cb)  # free row-major merge
+        return x.reshape(B * n_windows, N, Cb)  # free row-major merge
 
     kernel = functools.partial(
         _attn_kernel, TW=TW, wh=wht, W=Wt, heads=num_heads, scale=scale,
-        drop_threshold=threshold, inv_keep=inv_keep)
+        drop_threshold=threshold, inv_keep=inv_keep, nw=n_windows)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec, spec, spec, _W_SPEC(Cb), _SEED_SPEC],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_windows, N, Cb), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * n_windows, N, Cb), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -366,20 +381,20 @@ def _branch_bwd_impl(q, k, v, lepe_kernel, seed, dout, H, W, hsp, wsp,
         x = x.reshape(B, H, W, Cb)
         if flip:
             x = x.transpose(0, 2, 1, 3)
-        return x.reshape(B, n_windows, N, Cb)
+        return x.reshape(B * n_windows, N, Cb)
 
     kernel = functools.partial(
         _attn_bwd_kernel, TW=TW, wh=wht, W=Wt, heads=num_heads, scale=scale,
-        drop_threshold=threshold, inv_keep=inv_keep)
+        drop_threshold=threshold, inv_keep=inv_keep, nw=n_windows)
     dq, dk, dv, dw = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec, spec, spec, _W_SPEC(Cb), _SEED_SPEC, spec],
         out_specs=[spec, spec, spec, _W_SPEC(Cb)],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_windows, N, Cb), q.dtype),
-            jax.ShapeDtypeStruct((B, n_windows, N, Cb), q.dtype),
-            jax.ShapeDtypeStruct((B, n_windows, N, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B * n_windows, N, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B * n_windows, N, Cb), q.dtype),
+            jax.ShapeDtypeStruct((B * n_windows, N, Cb), q.dtype),
             jax.ShapeDtypeStruct((3, 3, 1, Cb), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

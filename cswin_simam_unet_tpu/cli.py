@@ -142,6 +142,19 @@ def run_train(args) -> int:
     # index split identical to the reference (sklearn, seed).
     source = SegmentationDataSource(args.image_dir, args.mask_dir, size,
                                     mask_nearest=multiclass)
+    if multiclass:
+        # Sanity-check the first mask host-side: class-id masks must hold
+        # values in [0, n_classes).  A binary 0/255 intensity mask fed to a
+        # multiclass config trains on clipped labels (the step clips to the
+        # valid range to keep the CE finite) — almost certainly not what the
+        # user wants, so say so up front.
+        _, mask0 = source.load(0)
+        if int(mask0.max()) >= cfg.model.n_classes:
+            print(f"WARNING: mask values reach {int(mask0.max())} but config "
+                  f"'{cfg.name}' expects class ids < {cfg.model.n_classes}; "
+                  f"labels will be clipped. Multiclass masks must store "
+                  f"class ids (0..{cfg.model.n_classes - 1}), not "
+                  f"intensities.")
     train_idx, test_idx = train_test_indices(len(source), cfg.test_split,
                                              cfg.seed)
     train_loader = DataLoader(source, train_idx, cfg.batch_size, shuffle=True,

@@ -118,7 +118,13 @@ def _prepare_batch(images_u8, masks_u8, n_classes: int):
 def _finalize_targets(masks, n_classes: int):
     if n_classes == 1:
         return masks
-    return jnp.round(masks[..., 0]).astype(jnp.int32)
+    # Clip to the valid label range: an out-of-range id (e.g. a binary
+    # 0/255 intensity mask fed to a multiclass config) would otherwise
+    # gather out of bounds inside the integer-label CE, which JAX fills
+    # with NaN — poisoning the loss while dice/iou (one_hot: zeros) stay
+    # finite.  The CLI warns host-side when mask values exceed the range.
+    ids = jnp.round(masks[..., 0]).astype(jnp.int32)
+    return jnp.clip(ids, 0, n_classes - 1)
 
 
 def _batch_metrics(logits, targets, n_classes: int):

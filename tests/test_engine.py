@@ -137,6 +137,25 @@ def test_train_step_updates_and_metrics():
     assert any(np.any(np.asarray(x) != 0) for x in bs)
 
 
+def test_multiclass_out_of_range_labels_stay_finite():
+    # A binary 0/255 intensity mask fed to a multiclass config must not
+    # NaN the loss: out-of-range ids would gather out of bounds inside the
+    # integer-label CE (JAX fills with NaN).  The step clips to the valid
+    # label range instead; the CLI warns host-side.
+    model = UNet(base_features=4, n_classes=4)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, 16, 16, 3), "adam", 1e-3, 1e-4)
+    rs = np.random.RandomState(0)
+    imgs, masks = _synthetic_batch(rs)  # mask values in {0, 255}
+    step = make_train_step(model, n_classes=4, augment=None, donate=False)
+    state, m = step(state, jnp.asarray(imgs), jnp.asarray(masks),
+                    jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    eval_step = make_eval_step(model, n_classes=4)
+    em = eval_step(state, jnp.asarray(imgs), jnp.asarray(masks))
+    assert np.isfinite(float(em["loss"]))
+
+
 def test_set_learning_rate_roundtrip():
     _, state = _tiny_unet_state(lr=1e-3)
     assert abs(get_learning_rate(state) - 1e-3) < 1e-9

@@ -1,5 +1,11 @@
 """Model-level tests: shapes, parameter counts vs the reference, SimAM
-variants, geometry validation, gradient flow (SURVEY.md §4.1)."""
+variants, geometry validation, gradient flow (SURVEY.md §4.1).
+
+Param counts use ``jax.eval_shape`` (no compute); everything that executes
+runs under ``jax.jit`` — eager op-by-op dispatch on the single-core CPU host
+costs minutes per model call (measured: the old eager version of this file
+took 200s+; see tests/test_spatial.py for the same fix).
+"""
 
 import numpy as np
 import jax
@@ -10,47 +16,55 @@ from cswin_simam_unet_tpu.models import UNet, CSWinUNet, validate_geometry
 from cswin_simam_unet_tpu.train import segmentation_loss
 
 
-def n_params(tree):
-    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+def n_params_abstract(model, shape):
+    """Parameter count via eval_shape — no FLOPs, no init compile."""
+    v = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros(shape, jnp.float32), train=False),
+        jax.random.PRNGKey(0))
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(v["params"]))
 
 
 TINY_CSWIN = dict(img_size=64, embed_dim=16, depth=(1, 1, 2, 1),
                   split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2))
 
 
+def jit_init(model, x, train=False):
+    return jax.jit(lambda r: model.init(r, x, train=train))(
+        jax.random.PRNGKey(0))
+
+
 def test_unet_param_count_matches_reference():
     # 31,043,521 params, verified by instantiating the reference
     # (train_unet_segmentation.py:221-250; SURVEY.md §6)
-    m = UNet()
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
-    assert n_params(v["params"]) == 31_043_521
+    assert n_params_abstract(UNet(), (1, 32, 32, 3)) == 31_043_521
 
 
 def test_cswin_param_count_matches_reference():
     # 23,567,980 params, resolution-independent
     # (train_cswinunet_segmentation.py:489-688; SURVEY.md §6)
-    m = CSWinUNet(img_size=224)
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
-    assert n_params(v["params"]) == 23_567_980
+    assert n_params_abstract(CSWinUNet(img_size=224),
+                             (1, 224, 224, 3)) == 23_567_980
 
 
 def test_unet_forward_shapes():
     m = UNet(n_classes=1)
     x = jnp.zeros((2, 64, 64, 3))
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    out = m.apply(v, x, train=False)
+    v = jit_init(m, x)
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
     assert out.shape == (2, 64, 64, 1)
-    probs = m.predict(v, x)
+    probs = jax.jit(lambda v, x: m.predict(v, x))(v, x)
     assert np.all(np.asarray(probs) >= 0) and np.all(np.asarray(probs) <= 1)
 
 
 def test_unet_simam_variant_runs_and_is_param_free():
     x = jnp.ones((1, 32, 32, 3))
-    v0 = UNet().init(jax.random.PRNGKey(0), x, train=False)
-    v1 = UNet(use_simam=True).init(jax.random.PRNGKey(0), x, train=False)
     # SimAM adds no parameters
-    assert n_params(v0["params"]) == n_params(v1["params"])
-    out = UNet(use_simam=True).apply(v1, x, train=False)
+    assert (n_params_abstract(UNet(), x.shape)
+            == n_params_abstract(UNet(use_simam=True), x.shape))
+    m = UNet(use_simam=True)
+    v = jit_init(m, x)
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
     assert out.shape == (1, 32, 32, 1)
 
 
@@ -60,15 +74,15 @@ def test_cswin_tiny_forward_and_grad():
                     dtype=jnp.float32)
     y = jnp.asarray((np.random.RandomState(1).rand(2, 64, 64, 1) > 0.5),
                     dtype=jnp.float32)
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    out = m.apply(v, x, train=False)
+    v = jit_init(m, x)
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
     assert out.shape == (2, 64, 64, 1)
 
     def loss_fn(params):
         logits = m.apply({"params": params}, x, train=False)
         return segmentation_loss(logits, y)
 
-    loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(v["params"])
     assert np.isfinite(float(loss))
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
@@ -79,19 +93,20 @@ def test_cswin_tiny_forward_and_grad():
 
 def test_cswin_simam_variant_is_param_free():
     x = jnp.ones((1, 64, 64, 3))
-    v0 = CSWinUNet(**TINY_CSWIN).init(jax.random.PRNGKey(0), x, train=False)
-    v1 = CSWinUNet(use_simam=True, **TINY_CSWIN).init(
-        jax.random.PRNGKey(0), x, train=False)
-    assert n_params(v0["params"]) == n_params(v1["params"])
-    out = CSWinUNet(use_simam=True, **TINY_CSWIN).apply(v1, x, train=False)
+    assert (n_params_abstract(CSWinUNet(**TINY_CSWIN), x.shape)
+            == n_params_abstract(CSWinUNet(use_simam=True, **TINY_CSWIN),
+                                 x.shape))
+    m = CSWinUNet(use_simam=True, **TINY_CSWIN)
+    v = jit_init(m, x)
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
     assert out.shape == (1, 64, 64, 1)
 
 
 def test_cswin_multiclass_head():
     m = CSWinUNet(num_classes=4, **TINY_CSWIN)
     x = jnp.zeros((1, 64, 64, 3))
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    probs = m.predict(v, x)
+    v = jit_init(m, x)
+    probs = jax.jit(lambda v, x: m.predict(v, x))(v, x)
     assert probs.shape == (1, 64, 64, 4)
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
 
@@ -112,12 +127,15 @@ def test_dropout_train_eval_modes():
                   **TINY_CSWIN)
     x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
                     dtype=jnp.float32)
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    v = jit_init(m, x)
+    fwd_eval = jax.jit(lambda v, x: m.apply(v, x, train=False))
     # eval: deterministic, no rng needed
-    o1 = m.apply(v, x, train=False)
-    o2 = m.apply(v, x, train=False)
+    o1 = fwd_eval(v, x)
+    o2 = fwd_eval(v, x)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     # train: stochastic across rng keys
-    t1 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
-    t2 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    fwd_train = jax.jit(
+        lambda v, x, r: m.apply(v, x, train=True, rngs={"dropout": r}))
+    t1 = fwd_train(v, x, jax.random.PRNGKey(1))
+    t2 = fwd_train(v, x, jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(t1), np.asarray(t2))

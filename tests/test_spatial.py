@@ -34,7 +34,11 @@ def unet_setup(request):
     model = UNet(n_channels=3, n_classes=1, base_features=8,
                  use_simam=request.param)
     x = jnp.asarray(np.random.RandomState(0).rand(2, H, W, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # jit everything in this module: eager dispatch of a whole UNet op-by-op
+    # on the single-core CPU host costs minutes per call (measured 396s for
+    # the two unjitted grad tests vs ~10s compiled).
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0))
     return model, variables, x
 
 
@@ -58,11 +62,13 @@ def test_halo_pad_matches_global_zero_pad(mesh):
 def test_spatial_unet_matches_single_device(mesh, unet_setup, train):
     model, variables, x = unet_setup
     if train:
-        ref, _ = model.apply(variables, x, train=True,
-                             mutable=["batch_stats"])
+        ref, _ = jax.jit(lambda v: model.apply(v, x, train=True,
+                                               mutable=["batch_stats"]))(
+            variables)
     else:
-        ref = model.apply(variables, x, train=False)
-    out = spatial_unet_apply(model, variables, x, mesh, train=train)
+        ref = jax.jit(lambda v: model.apply(v, x, train=False))(variables)
+    out = jax.jit(lambda v: spatial_unet_apply(model, v, x, mesh,
+                                               train=train))(variables)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
@@ -81,8 +87,8 @@ def test_spatial_unet_gradients_match(mesh, unet_setup):
         return jnp.mean(jnp.square(
             spatial_unet_apply(model, v, x, mesh, train=True)))
 
-    g_ref = jax.grad(loss_ref)(params)
-    g_sp = jax.grad(loss_sp)(params)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    g_sp = jax.jit(jax.grad(loss_sp))(params)
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_sp = dict(jax.tree_util.tree_leaves_with_path(g_sp))
     assert flat_sp

@@ -86,8 +86,12 @@ def main():
         opt = "adam"
     else:
         dr = 0.3 if args.train_drops else 0.0
+        # reference-default stripes (1,2,7,7) when the geometry allows
+        # (448^2: train_cswinunet_segmentation.py:921-933); the [1,2,8,8]
+        # variant otherwise (512^2/1024^2 — the ref default can't run those)
+        split = (1, 2, 7, 7) if (img // 16) % 7 == 0 else (1, 2, 8, 8)
         model = CSWinUNet(
-            img_size=img, use_simam=True, split_size=(1, 2, 8, 8),
+            img_size=img, use_simam=True, split_size=split,
             num_classes=1, drop_rate=dr, attn_drop_rate=dr,
             drop_path_rate=dr, use_pallas=use_pallas, dtype=dtype)
         opt = "adamw"

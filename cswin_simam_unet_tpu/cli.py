@@ -86,6 +86,27 @@ def build_argparser() -> argparse.ArgumentParser:
     pr.add_argument("--bf16", action="store_true")
     pr.add_argument("--pallas", action="store_true")
 
+    ev = sub.add_parser(
+        "evaluate",
+        help="evaluate trained weights on an image+mask directory "
+             "(same metrics/semantics as the in-training eval)")
+    ev.add_argument("--config", default="unet", choices=sorted(CONFIGS))
+    ev.add_argument("--weights", required=True,
+                    help="final-weights .msgpack artifact or a checkpoint "
+                         "directory (latest epoch used)")
+    ev.add_argument("--image-dir", required=True)
+    ev.add_argument("--mask-dir", required=True)
+    ev.add_argument("--image-size", type=int, default=None)
+    ev.add_argument("--batch-size", type=int, default=None)
+    ev.add_argument("--split", choices=["all", "train", "test"],
+                    default="all",
+                    help="'all': the whole directory; 'train'/'test': that "
+                         "side of the training split (identical sklearn "
+                         "index split: config test_split + seed), e.g. to "
+                         "re-score a checkpoint on its held-out set")
+    ev.add_argument("--bf16", action="store_true")
+    ev.add_argument("--pallas", action="store_true")
+
     ex = sub.add_parser(
         "export-torch",
         help="export trained weights to a PyTorch state_dict loadable by "
@@ -353,6 +374,62 @@ def _load_variables(model, cfg, size: int, weights: str) -> dict:
     return variables
 
 
+def run_evaluate(args) -> int:
+    """Post-hoc evaluation from saved weights, byte-identical semantics to
+    the per-epoch in-training eval (``engine.make_eval_step`` +
+    ``engine.evaluate``: thresholded preds vs soft targets, uniform mean
+    over batches — ref evaluate_model, train_unet_segmentation.py:274-309).
+
+    The reference offers no way to score a saved model at all; this closes
+    the loop for checkpoints and final-weights artifacts.
+    """
+    from cswin_simam_unet_tpu.train.engine import evaluate, make_eval_step
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    overrides = {}
+    if args.image_size is not None:
+        overrides["image_size"] = args.image_size
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.bf16:
+        overrides["model_dtype"] = "bfloat16"
+    if args.pallas and jax.devices()[0].platform == "tpu":
+        overrides["model_use_pallas"] = True
+    cfg = get_config(args.config, **overrides)
+    size = (cfg.image_size, cfg.image_size)
+    multiclass = cfg.model.n_classes > 1
+    source = SegmentationDataSource(args.image_dir, args.mask_dir, size,
+                                    mask_nearest=multiclass)
+    if args.split == "all":
+        idx = list(range(len(source)))
+    else:
+        train_idx, test_idx = train_test_indices(len(source), cfg.test_split,
+                                                 cfg.seed)
+        idx = train_idx if args.split == "train" else test_idx
+    loader = DataLoader(source, idx, cfg.batch_size, shuffle=False,
+                        num_workers=max(1, cfg.num_workers // 2))
+
+    model = build_model(cfg.model, cfg.image_size)
+    variables = _load_variables(model, cfg, cfg.image_size, args.weights)
+    # eval only touches params/batch_stats/apply_fn, but the jitted step
+    # takes the state pytree — build a real TrainState around the weights
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (1, cfg.image_size, cfg.image_size, cfg.model.in_channels),
+        optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay)
+    state = state.replace(params=variables["params"])
+    if "batch_stats" in variables:
+        state = state.replace(batch_stats=variables["batch_stats"])
+    metrics = evaluate(make_eval_step(model, cfg.model.n_classes), state,
+                       loader)
+    print(f"Evaluated {len(idx)} images (split={args.split}): "
+          f"Loss: {metrics['loss']:.6f}, Dice: {metrics['dice']:.6f}, "
+          f"IoU: {metrics['iou']:.6f}")
+    return 0
+
+
 def run_export_torch(args) -> int:
     """Export trained weights as a reference-loadable torch state_dict.
 
@@ -403,6 +480,8 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if args.command == "predict":
         return run_predict(args)
+    if args.command == "evaluate":
+        return run_evaluate(args)
     if args.command == "export-torch":
         return run_export_torch(args)
     if args.command == "list-configs":

@@ -76,3 +76,17 @@ def test_cli_train_and_resume(dataset):
     m = cv2.imread(os.path.join(pred_dir, masks[0]), cv2.IMREAD_GRAYSCALE)
     assert m is not None and m.shape == (32, 32)
     assert set(np.unique(m)) <= {0, 255}
+
+    # evaluate: re-score the final weights on the held-out split; the last
+    # CSV row's test metrics must reproduce exactly (same eval semantics)
+    r4 = _run_cli("evaluate", "--config", "unet_256", "--weights", weights,
+                  "--image-dir", img_dir, "--mask-dir", mask_dir,
+                  "--image-size", "32", "--split", "test")
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    last = open(csv).read().strip().splitlines()[-1].split(",")
+    test_loss, test_dice = float(last[4]), float(last[5])
+    import re
+    got = re.search(r"Loss: ([\d.]+), Dice: ([\d.]+)", r4.stdout)
+    assert got, r4.stdout
+    assert abs(float(got.group(1)) - test_loss) < 1e-4
+    assert abs(float(got.group(2)) - test_dice) < 1e-4

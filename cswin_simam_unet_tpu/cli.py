@@ -104,6 +104,10 @@ def build_argparser() -> argparse.ArgumentParser:
                          "side of the training split (identical sklearn "
                          "index split: config test_split + seed), e.g. to "
                          "re-score a checkpoint on its held-out set")
+    ev.add_argument("--seed", type=int, default=None,
+                    help="must match the training --seed for --split "
+                         "train/test to reproduce the training's index "
+                         "split")
     ev.add_argument("--bf16", action="store_true")
     ev.add_argument("--pallas", action="store_true")
 
@@ -124,28 +128,50 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _common_overrides(args) -> dict:
+    """Config overrides for the flags shared by train/predict/evaluate
+    (--image-size/--seed/--bf16/--pallas); one place so the off-TPU
+    --pallas downgrade note behaves identically everywhere."""
+    o = {}
+    if getattr(args, "image_size", None) is not None:
+        o["image_size"] = args.image_size
+    if getattr(args, "seed", None) is not None:
+        o["seed"] = args.seed
+    if getattr(args, "bf16", False):
+        o["model_dtype"] = "bfloat16"
+    if getattr(args, "pallas", False):
+        if jax.devices()[0].platform == "tpu":
+            o["model_use_pallas"] = True
+        else:
+            print("--pallas requested but no TPU backend; using XLA kernels")
+    return o
+
+
+def _warn_intensity_masks(source, cfg) -> None:
+    """Multiclass configs expect class-id masks; sanity-check the first mask
+    host-side and say so loudly if it looks intensity-valued (e.g. 0/255) —
+    the device step clips labels into range to keep the CE finite, which
+    would otherwise hide the mistake (train and evaluate both)."""
+    _, mask0 = source.load(0)
+    if int(mask0.max()) >= cfg.model.n_classes:
+        print(f"WARNING: mask values reach {int(mask0.max())} but config "
+              f"'{cfg.name}' expects class ids < {cfg.model.n_classes}; "
+              f"labels will be clipped. Multiclass masks must store "
+              f"class ids (0..{cfg.model.n_classes - 1}), not "
+              f"intensities.")
+
+
 def run_train(args) -> int:
     # cold CSWin train-step compiles take ~20 min on TPU; cache them
     from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    overrides = {}
+    overrides = _common_overrides(args)
     if args.epochs is not None:
         overrides["num_epochs"] = args.epochs
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
-    if args.image_size is not None:
-        overrides["image_size"] = args.image_size
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
-    if args.seed is not None:
-        overrides["seed"] = args.seed
-    if args.bf16:
-        overrides["model_dtype"] = "bfloat16"
-    if args.pallas:
-        if jax.devices()[0].platform == "tpu":
-            overrides["model_use_pallas"] = True
-        else:
-            print("--pallas requested but no TPU backend; using XLA kernels")
     cfg = get_config(args.config, **overrides)
     if args.no_augment:
         cfg = dataclasses.replace(cfg, augment=None)
@@ -164,18 +190,7 @@ def run_train(args) -> int:
     source = SegmentationDataSource(args.image_dir, args.mask_dir, size,
                                     mask_nearest=multiclass)
     if multiclass:
-        # Sanity-check the first mask host-side: class-id masks must hold
-        # values in [0, n_classes).  A binary 0/255 intensity mask fed to a
-        # multiclass config trains on clipped labels (the step clips to the
-        # valid range to keep the CE finite) — almost certainly not what the
-        # user wants, so say so up front.
-        _, mask0 = source.load(0)
-        if int(mask0.max()) >= cfg.model.n_classes:
-            print(f"WARNING: mask values reach {int(mask0.max())} but config "
-                  f"'{cfg.name}' expects class ids < {cfg.model.n_classes}; "
-                  f"labels will be clipped. Multiclass masks must store "
-                  f"class ids (0..{cfg.model.n_classes - 1}), not "
-                  f"intensities.")
+        _warn_intensity_masks(source, cfg)
     train_idx, test_idx = train_test_indices(len(source), cfg.test_split,
                                              cfg.seed)
     train_loader = DataLoader(source, train_idx, cfg.batch_size, shuffle=True,
@@ -281,14 +296,7 @@ def run_predict(args) -> int:
     from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    overrides = {}
-    if args.image_size is not None:
-        overrides["image_size"] = args.image_size
-    if args.bf16:
-        overrides["model_dtype"] = "bfloat16"
-    if args.pallas and jax.devices()[0].platform == "tpu":
-        overrides["model_use_pallas"] = True
-    cfg = get_config(args.config, **overrides)
+    cfg = get_config(args.config, **_common_overrides(args))
     size = cfg.image_size
     n_classes = cfg.model.n_classes
 
@@ -387,20 +395,16 @@ def run_evaluate(args) -> int:
     from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    overrides = {}
-    if args.image_size is not None:
-        overrides["image_size"] = args.image_size
+    overrides = _common_overrides(args)
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
-    if args.bf16:
-        overrides["model_dtype"] = "bfloat16"
-    if args.pallas and jax.devices()[0].platform == "tpu":
-        overrides["model_use_pallas"] = True
     cfg = get_config(args.config, **overrides)
     size = (cfg.image_size, cfg.image_size)
     multiclass = cfg.model.n_classes > 1
     source = SegmentationDataSource(args.image_dir, args.mask_dir, size,
                                     mask_nearest=multiclass)
+    if multiclass:
+        _warn_intensity_masks(source, cfg)
     if args.split == "all":
         idx = list(range(len(source)))
     else:
@@ -412,16 +416,15 @@ def run_evaluate(args) -> int:
 
     model = build_model(cfg.model, cfg.image_size)
     variables = _load_variables(model, cfg, cfg.image_size, args.weights)
-    # eval only touches params/batch_stats/apply_fn, but the jitted step
-    # takes the state pytree — build a real TrainState around the weights
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        (1, cfg.image_size, cfg.image_size, cfg.model.in_channels),
-        optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
-        weight_decay=cfg.weight_decay)
-    state = state.replace(params=variables["params"])
-    if "batch_stats" in variables:
-        state = state.replace(batch_stats=variables["batch_stats"])
+    # The jitted eval step takes the state pytree, but eval only touches
+    # params/batch_stats/apply_fn — wrap the loaded weights directly (no
+    # second model init; the optimizer state is allocated but never read).
+    from cswin_simam_unet_tpu.train.engine import TrainState, make_optimizer
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=make_optimizer(cfg.optimizer, cfg.learning_rate,
+                          cfg.weight_decay))
     metrics = evaluate(make_eval_step(model, cfg.model.n_classes), state,
                        loader)
     print(f"Evaluated {len(idx)} images (split={args.split}): "

@@ -20,9 +20,10 @@ TPU-first differences (by design):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -96,7 +97,16 @@ class CSWinUNet(nn.Module):
     drop_path_rate: float = 0.0
     use_simam: bool = False
     use_pallas: bool = False
-    remat: bool = False  # rematerialise each CSWinBlock in backward
+    # backward rematerialisation per CSWinBlock: False = save everything
+    # (fastest at the 512^2 batch-8 flagship), True = recompute the whole
+    # block (most memory-frugal; measured 52.5 -> 63.7 ms/step there),
+    # "dots" = jax.checkpoint_policies.dots_saveable: matmul outputs are
+    # saved, elementwise chains recompute — measured 68.7 ms at the
+    # flagship, WORSE than full remat: the stripe-attention custom-vjp
+    # kernels are not dots, so their forward re-runs in backward on top of
+    # the fused backward kernel.  Both stay available for memory-limited
+    # configs (e.g. beyond 1024^2); neither belongs in the fast path.
+    remat: Union[bool, str] = False
     dtype: Dtype = jnp.float32
 
     def _block_kw(self, stage: int, reso: int, dpr: float,
@@ -131,8 +141,13 @@ class CSWinUNet(nn.Module):
         validate_geometry(self.img_size, self.split_size)
         validate_heads(self.embed_dim, self.num_heads)
         # trade FLOPs for HBM: recompute block activations in backward
-        Block = (nn.remat(CSWinBlock, static_argnums=(2,)) if self.remat
-                 else CSWinBlock)
+        if self.remat == "dots":
+            Block = nn.remat(CSWinBlock, static_argnums=(2,),
+                             policy=jax.checkpoint_policies.dots_saveable)
+        elif self.remat:
+            Block = nn.remat(CSWinBlock, static_argnums=(2,))
+        else:
+            Block = CSWinBlock
         deterministic = not train
         E = self.embed_dim
         depth = list(self.depth)

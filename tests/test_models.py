@@ -122,6 +122,32 @@ def test_geometry_validation():
         validate_geometry(100, (1, 2, 7, 7))
 
 
+@pytest.mark.parametrize("remat", [True, "dots"])
+def test_remat_variants_match_baseline(remat):
+    # memory-frugal block remat (bool) and the dots_saveable policy must be
+    # numerically identical to the no-remat forward AND gradients
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
+                    dtype=jnp.float32)
+    base = CSWinUNet(**TINY_CSWIN)
+    m = CSWinUNet(remat=remat, **TINY_CSWIN)
+    v = jit_init(base, x)
+
+    def loss(model, params):
+        return jnp.mean(jnp.square(
+            model.apply({"params": params}, x, train=False)))
+
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(base, p)))(v["params"])
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(m, p)))(v["params"])
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=jax.tree_util.keystr(p0))
+
+
 def test_dropout_train_eval_modes():
     m = CSWinUNet(drop_rate=0.3, attn_drop_rate=0.3, drop_path_rate=0.3,
                   **TINY_CSWIN)

@@ -63,6 +63,12 @@ def build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-every", type=int, default=1,
                    help="checkpoint period in epochs (0 = final epoch only; "
                         "each save fetches ~full train state off-device)")
+    t.add_argument("--remat", choices=["block", "dots"], default=None,
+                   help="backward rematerialisation for CSWin blocks: "
+                        "'block' recomputes whole blocks (most "
+                        "memory-frugal), 'dots' keeps matmul outputs. "
+                        "Slower per step at <=1024^2 (BASELINE.md) — use "
+                        "for resolutions that otherwise OOM")
     t.add_argument("--cache-decoded", action="store_true",
                    help="cache decoded+resized samples in host RAM after "
                         "epoch 1 (H*W*4 bytes/sample); identical values, "
@@ -172,6 +178,9 @@ def run_train(args) -> int:
         overrides["batch_size"] = args.batch_size
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
+    if args.remat is not None:
+        overrides["model_remat"] = (True if args.remat == "block"
+                                    else args.remat)
     cfg = get_config(args.config, **overrides)
     if args.no_augment:
         cfg = dataclasses.replace(cfg, augment=None)

@@ -40,6 +40,10 @@ class ModelConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # backward remat per block: False (fastest at <=1024^2), True (whole
+    # block recomputes — most memory-frugal), or 'dots' (dots_saveable
+    # policy).  Measured trade-offs in BASELINE.md.
+    remat: object = False
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
 
@@ -80,7 +84,7 @@ def build_model(cfg: ModelConfig, image_size: int):
             qkv_bias=cfg.qkv_bias, drop_rate=cfg.drop_rate,
             attn_drop_rate=cfg.attn_drop_rate,
             drop_path_rate=cfg.drop_path_rate, use_simam=cfg.use_simam,
-            use_pallas=cfg.use_pallas, dtype=dtype)
+            use_pallas=cfg.use_pallas, remat=cfg.remat, dtype=dtype)
     raise ValueError(f"unknown model family: {cfg.family}")
 
 

@@ -90,3 +90,13 @@ def test_cli_train_and_resume(dataset):
     assert got, r4.stdout
     assert abs(float(got.group(1)) - test_loss) < 1e-4
     assert abs(float(got.group(2)) - test_dice) < 1e-4
+
+    # the checkpoint-DIRECTORY weights path (latest epoch == final weights
+    # here) must score identically to the msgpack artifact
+    ckpt_dir = os.path.join(out_dir, "unet_256_checkpoints")
+    r5 = _run_cli("evaluate", "--config", "unet_256", "--weights", ckpt_dir,
+                  "--image-dir", img_dir, "--mask-dir", mask_dir,
+                  "--image-size", "32", "--split", "test")
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    got5 = re.search(r"Loss: ([\d.]+), Dice: ([\d.]+)", r5.stdout)
+    assert got5 and abs(float(got5.group(1)) - test_loss) < 1e-4, r5.stdout

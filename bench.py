@@ -34,7 +34,16 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--remat", default="", choices=["", "block", "dots"],
+                   help="CSWin block rematerialisation (memory-limited "
+                        "configs, e.g. 2048^2; measured LOSS at 512^2 "
+                        "batch 8 — see BASELINE.md)")
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
+    p.add_argument("--mode", default="train", choices=["train", "infer"],
+                   help="'train' = full fwd+bwd+optimizer step (the "
+                        "headline); 'infer' = serving path: uint8 batch -> "
+                        "normalise -> forward -> probabilities (train=False, "
+                        "no dropout), measuring deployment throughput")
     p.add_argument("--train-drops", dest="train_drops", action="store_true",
                    default=True,
                    help="use the reference CSWin TRAINING regularisation "
@@ -90,15 +99,18 @@ def main():
         # (448^2: train_cswinunet_segmentation.py:921-933); the [1,2,8,8]
         # variant otherwise (512^2/1024^2 — the ref default can't run those)
         split = (1, 2, 7, 7) if (img // 16) % 7 == 0 else (1, 2, 8, 8)
+        remat = {"": False, "block": True, "dots": "dots"}[args.remat]
         model = CSWinUNet(
             img_size=img, use_simam=True, split_size=split,
             num_classes=1, drop_rate=dr, attn_drop_rate=dr,
-            drop_path_rate=dr, use_pallas=use_pallas, dtype=dtype)
+            drop_path_rate=dr, use_pallas=use_pallas, dtype=dtype,
+            remat=remat)
         opt = "adamw"
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, img, img, 3), opt, 1e-4, 1e-4)
 
-    step = make_train_step(model, n_classes=1, augment=None, donate=True)
+    if args.mode == "train":
+        step = make_train_step(model, n_classes=1, augment=None, donate=True)
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (batch, img, img, 3), dtype=np.uint8)
     masks = (rs.randint(0, 2, (batch, img, img, 1), dtype=np.uint8) * 255)
@@ -114,6 +126,20 @@ def main():
         images = jax.device_put(images)
         masks = jax.device_put(masks)
         rng = jax.random.key(1, impl='rbg')
+
+    if args.mode == "infer":
+        # Serving path: frozen weights, uint8 batch -> normalise -> forward
+        # -> probabilities (model.predict = the CLI predict subcommand's
+        # compute; ref has no inference entry point at all, ref :537/:992).
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        predict = jax.jit(lambda v, im: model.predict(
+            v, im.astype(jnp.float32) / 255.0))
+
+        def step(state, images, masks, rng):  # chain-compatible wrapper
+            probs = predict(variables, images)
+            return state, {"loss": jnp.mean(probs)}
 
     t_compile = time.perf_counter()
     for i in range(max(1, args.warmup)):
@@ -159,7 +185,11 @@ def main():
     # v5p 459 TF, v6e 918 TF.
     mfu = None
     try:
-        cost = step.lower(state, images, masks, rng).compile().cost_analysis()
+        if args.mode == "infer":
+            cost = predict.lower(variables, images).compile().cost_analysis()
+        else:
+            cost = step.lower(state, images, masks,
+                              rng).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
@@ -182,8 +212,9 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        key = ("unet_512_imgs_per_sec" if args.model == "unet"
-               else "cswin_512_imgs_per_sec")
+        key = ("unet_512" if args.model == "unet" else "cswin_512")
+        key += "_infer_imgs_per_sec" if args.mode == "infer" \
+            else "_imgs_per_sec"
         ref = base.get(key)
         if ref:
             vs_baseline = ips_per_chip / ref
@@ -191,8 +222,9 @@ def main():
                   f"-> vs_baseline {vs_baseline:.2f}x", file=sys.stderr)
 
     label = ("UNet-SimAM" if args.model == "unet" else "CSWin-SimAM-UNet")
+    what = ("infer" if args.mode == "infer" else "fwd+bwd+step")
     out = {
-        "metric": f"{label} {img}^2 fwd+bwd+step images/sec/chip",
+        "metric": f"{label} {img}^2 {what} images/sec/chip",
         "value": round(ips_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),

@@ -54,6 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint if present")
+    t.add_argument("--init-weights", default=None,
+                   help="warm-start from saved weights before training: a "
+                        "final-weights .msgpack, a checkpoint directory, or "
+                        "a reference-format torch state_dict (.pth/.pt) — "
+                        "fine-tune a model trained by the original scripts")
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype")
@@ -259,6 +264,15 @@ def run_train(args) -> int:
         checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
         tensorboard_dir=args.tensorboard_dir)
 
+    if args.init_weights:
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        loaded = _load_variables(model, cfg, cfg.image_size,
+                                 args.init_weights, variables=variables)
+        state = state.replace(params=loaded["params"],
+                              batch_stats=loaded.get("batch_stats"))
+
     history = scheduler = None
     start_epoch = 0
     global_step = 0
@@ -356,15 +370,34 @@ def run_predict(args) -> int:
     return 0
 
 
-def _load_variables(model, cfg, size: int, weights: str) -> dict:
-    """Load model variables from a final-weights .msgpack or checkpoint dir."""
+def _load_variables(model, cfg, size: int, weights: str,
+                    variables: dict | None = None) -> dict:
+    """Load model variables from a final-weights .msgpack, a checkpoint dir,
+    or a reference-format torch state_dict (.pth/.pt, or the .npz fallback
+    export-torch writes on torch-less machines).  The torch path is the
+    migration entry point: the reference's ONE training artifact is
+    ``torch.save(model.state_dict())`` (ref :537/:992), and it loads here
+    directly.  ``variables`` lets callers that already initialised the model
+    skip the second init."""
     import jax.numpy as jnp
     from flax import serialization
 
-    x0 = jnp.zeros((1, size, size, cfg.model.in_channels), jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, x0, train=False))(
-        jax.random.PRNGKey(0))
-    if os.path.isdir(weights):  # checkpoint dir: restore latest epoch
+    if variables is None:
+        x0 = jnp.zeros((1, size, size, cfg.model.in_channels), jnp.float32)
+        variables = jax.jit(lambda r: model.init(r, x0, train=False))(
+            jax.random.PRNGKey(0))
+    from cswin_simam_unet_tpu.compat.io import TORCH_SUFFIXES
+    if weights.endswith(TORCH_SUFFIXES):
+        from cswin_simam_unet_tpu.compat.io import (
+            import_torch_file,
+            merge_imported_variables,
+        )
+        imported = import_torch_file(weights, cfg.model.family,
+                                     depth=cfg.model.depth)
+        variables = merge_imported_variables(variables, imported,
+                                             source=weights)
+        print(f"Imported reference torch weights from {weights}")
+    elif os.path.isdir(weights):  # checkpoint dir: restore latest epoch
         from cswin_simam_unet_tpu.train.checkpoint import CheckpointStore
         from cswin_simam_unet_tpu.train.engine import create_train_state
         state = create_train_state(

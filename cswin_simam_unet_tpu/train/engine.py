@@ -129,13 +129,16 @@ def _finalize_targets(masks, n_classes: int):
 
 def _batch_metrics(logits, targets, n_classes: int):
     if n_classes == 1:
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        preds = threshold_predictions(probs)
+        # sigmoid(x) > 0.5  <=>  x > 0 (monotone, exact at the boundary):
+        # the reference's threshold-after-sigmoid (ref :351-356) without
+        # materialising a full-resolution f32 probability map each step.
+        preds = threshold_predictions(logits.astype(jnp.float32), thresh=0.0)
         return dice_coefficient(preds, targets), iou_score(preds, targets)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # argmax(softmax(x)) == argmax(x): the softmax pass is skippable too
+    scores = logits.astype(jnp.float32)
     onehot = jax.nn.one_hot(targets, n_classes, dtype=jnp.float32)
-    d = multiclass_dice(probs, onehot)
-    pred_onehot = jax.nn.one_hot(jnp.argmax(probs, -1), n_classes,
+    d = multiclass_dice(scores, onehot)
+    pred_onehot = jax.nn.one_hot(jnp.argmax(scores, -1), n_classes,
                                  dtype=jnp.float32)
     axes = tuple(range(pred_onehot.ndim - 1))
     inter = jnp.sum(pred_onehot * onehot, axis=axes)

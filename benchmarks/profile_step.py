@@ -49,6 +49,10 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--attn-drop", type=float, default=0.0)
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
+    p.add_argument("--mode", default="train", choices=["train", "infer"],
+                   help="'infer' profiles the serving path (frozen weights, "
+                        "uint8 -> normalise -> forward -> probabilities), "
+                        "matching bench.py --mode infer")
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--raw", action="store_true",
@@ -81,7 +85,18 @@ def main():
         opt = "adamw"
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, img, img, 3), opt, 1e-4, 1e-4)
-    step = make_train_step(model, n_classes=1, augment=None, donate=True)
+    if args.mode == "infer":
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        predict = jax.jit(lambda v, im: model.predict(
+            v, im.astype(jnp.float32) / 255.0))
+
+        def step(state, images, masks, rng):
+            probs = predict(variables, images)
+            return state, {"loss": jnp.mean(probs)}
+    else:
+        step = make_train_step(model, n_classes=1, augment=None, donate=True)
     rs = np.random.RandomState(0)
     images = jax.device_put(
         rs.randint(0, 256, (args.batch, img, img, 3), dtype=np.uint8))

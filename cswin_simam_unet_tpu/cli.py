@@ -294,7 +294,9 @@ def run_train(args) -> int:
     from cswin_simam_unet_tpu.train.checkpoint import save_weights
     save_weights(f"{prefix}_final_weights.msgpack", state)
     best_epoch, best_dice = store.best_epoch()
-    print(f"Done. Best test Dice {best_dice:.4f} at epoch {best_epoch}. "
+    best = store.best_weights_path()
+    print(f"Done. Best test Dice {best_dice:.4f} at epoch {best_epoch}"
+          f"{f' (weights: {best})' if best else ''}. "
           f"Artifacts: {prefix}_training_metrics.{{csv,png}}, "
           f"{prefix}_final_weights.msgpack, checkpoints in {ckpt_dir}")
     store.close()
@@ -398,20 +400,14 @@ def _load_variables(model, cfg, size: int, weights: str,
                                              source=weights)
         print(f"Imported reference torch weights from {weights}")
     elif os.path.isdir(weights):  # checkpoint dir: restore latest epoch
+        from cswin_simam_unet_tpu.compat.io import merge_imported_variables
         from cswin_simam_unet_tpu.train.checkpoint import CheckpointStore
-        from cswin_simam_unet_tpu.train.engine import create_train_state
-        state = create_train_state(
-            model, jax.random.PRNGKey(0),
-            (1, size, size, cfg.model.in_channels),
-            optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
-            weight_decay=cfg.weight_decay)
         store = CheckpointStore(weights)
-        state, _, _, epoch, _ = store.restore(state)
+        payload, epoch = store.restore_weights()
         store.close()
+        variables = merge_imported_variables(variables, payload,
+                                             source=weights)
         print(f"Loaded checkpoint epoch {epoch} from {weights}")
-        variables = dict(variables, params=state.params)
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
     else:
         template = {"params": jax.device_get(variables["params"])}
         if "batch_stats" in variables:
@@ -515,7 +511,8 @@ def run_export_torch(args) -> int:
 def _write_png(path: str, mask_u8: np.ndarray) -> None:
     try:
         import cv2
-        cv2.imwrite(path, mask_u8)
+        if not cv2.imwrite(path, mask_u8):  # returns False instead of raising
+            raise IOError(f"cv2.imwrite failed for {path}")
     except ImportError:
         from PIL import Image
         Image.fromarray(mask_u8).save(path)

@@ -35,7 +35,11 @@ from cswin_simam_unet_tpu.models.layers import (
     dense_init,
 )
 from cswin_simam_unet_tpu.ops.simam import simam
-from cswin_simam_unet_tpu.ops.windows import nhwc_to_tokens, tokens_to_nhwc
+from cswin_simam_unet_tpu.ops.windows import (
+    nhwc_to_tokens,
+    pixel_shuffle,
+    tokens_to_nhwc,
+)
 
 Dtype = Any
 
@@ -233,10 +237,7 @@ class CSWinUNet(nn.Module):
             # (B, r0, r0, S^2*classes), lane s*classes + c
             if flat_logits:
                 return logits
-            logits = logits.reshape(B, r0, r0, S, S, self.num_classes)
-            logits = logits.transpose(0, 1, 3, 2, 4, 5)
-            return logits.reshape(B, self.img_size, self.img_size,
-                                  self.num_classes)
+            return pixel_shuffle(logits, S)
         tokens = CARAFE(E, up_factor=4, use_simam=self.use_simam,
                         use_pallas=self.use_pallas,
                         dtype=self.dtype, name="upsample1")(

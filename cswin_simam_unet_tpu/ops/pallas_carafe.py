@@ -48,6 +48,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# the single source of truth for the s-major flat-lane channel order lives
+# in ops.windows; these aliases keep this module's historical import surface
+from cswin_simam_unet_tpu.ops.windows import (
+    pixel_shuffle as _pixel_shuffle,
+    pixel_unshuffle as _pixel_unshuffle,
+)
+
 _INTERPRET = False
 
 
@@ -257,20 +264,6 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _pixel_shuffle(arr, S):
-    """(B, H, W, S^2*C) -> (B, H*S, W*S, C); s-major channel order."""
-    B, H, W, SC = arr.shape
-    C = SC // (S * S)
-    out = arr.reshape(B, H, W, S, S, C).transpose(0, 1, 3, 2, 4, 5)
-    return out.reshape(B, H * S, W * S, C)
-
-
-def _pixel_unshuffle(arr, S):
-    """(B, H*S, W*S, C) -> (B, H, W, S^2*C)."""
-    B, HS, WS, C = arr.shape
-    H, W = HS // S, WS // S
-    out = arr.reshape(B, H, S, W, S, C).transpose(0, 1, 3, 2, 4, 5)
-    return out.reshape(B, H, W, S * S * C)
 
 
 def _tiled_specs(TH, W, CH, nR):

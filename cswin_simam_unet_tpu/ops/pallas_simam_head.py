@@ -44,6 +44,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# one source of truth for the block-diagonal head expansion, kron(I_G, w)
+# (also imported from here by pallas_carafe_head)
+from cswin_simam_unet_tpu.ops.flat_dot import _kron_eye  # noqa: F401
 from cswin_simam_unet_tpu.ops.simam import _flat_stats
 
 _INTERPRET = False
@@ -58,8 +61,6 @@ def _tile_h(H: int) -> int:
     return th
 
 
-def _kron_eye(w: jnp.ndarray, G: int, dtype) -> jnp.ndarray:
-    return jnp.kron(jnp.eye(G, dtype=dtype), w.astype(dtype))
 
 
 def _mm(a, b):

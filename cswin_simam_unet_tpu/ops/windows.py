@@ -49,6 +49,18 @@ def nhwc_to_tokens(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, H * W, C)
 
 
+def pixel_shuffle(x: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(B, H, W, S^2*C) -> (B, H*S, W*S, C); the s-major lane contract
+    ``slot s*C + c`` with sub-pixel ``s = sy*S + sx`` (inverse of
+    :func:`pixel_unshuffle`).  THE single definition of the flat-layout
+    channel order — the CARAFE kernels, the model head, and the target
+    unshuffle all route through this pair, so the contract cannot drift."""
+    B, H, W, SC = x.shape
+    C = SC // (S * S)
+    out = x.reshape(B, H, W, S, S, C).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(B, H * S, W * S, C)
+
+
 def pixel_unshuffle(x: jnp.ndarray, S: int) -> jnp.ndarray:
     """(B, H*S, W*S, C) -> (B, H, W, S^2*C), lane slot ``s*C + c`` with
     s-major sub-pixel index ``s = sy*S + sx`` — the inverse of the CARAFE

@@ -50,15 +50,25 @@ def initialize_runtime(coordinator_address: Optional[str] = None,
     return jax.process_index(), jax.process_count()
 
 
-def process_local_indices(indices: Sequence[int],
-                          global_batch: int) -> np.ndarray:
+def process_local_indices(indices: Sequence[int], global_batch: int,
+                          process: Optional[int] = None,
+                          count: Optional[int] = None) -> np.ndarray:
     """This process's contiguous per-batch slice of a global index order.
 
     Every process iterates the SAME shuffled global order (same seed/epoch)
     and takes rows [p*b_local, (p+1)*b_local) of every global batch, so the
-    union over processes reproduces single-host batches exactly."""
+    union over processes reproduces single-host batches exactly.
+
+    A ragged FINAL chunk (dataset not divisible by the global batch) is kept
+    only when it still splits evenly over the processes; otherwise it is
+    dropped on every process.  A lopsided split (process 0 taking its full
+    share, later processes short or empty) would desync per-process batch
+    counts and shapes — the jitted step's collectives would then see
+    inconsistent global shapes and hang.  ``process``/``count`` default to
+    the runtime's values (overridable for tests)."""
     indices = np.asarray(indices)
-    p, n = jax.process_index(), jax.process_count()
+    p = jax.process_index() if process is None else process
+    n = jax.process_count() if count is None else count
     if n == 1:
         return indices
     if global_batch % n:
@@ -68,7 +78,10 @@ def process_local_indices(indices: Sequence[int],
     out = []
     for start in range(0, len(indices), global_batch):
         chunk = indices[start:start + global_batch]
-        out.append(chunk[p * local:(p + 1) * local])
+        b = len(chunk)
+        if b % n:  # ragged tail that cannot split evenly: drop everywhere
+            break
+        out.append(chunk[p * (b // n):(p + 1) * (b // n)])
     return np.concatenate(out) if out else indices[:0]
 
 

@@ -63,6 +63,8 @@ class CheckpointStore:
             ),
         )
         self._meta_path = os.path.join(self.directory, "meta.json")
+        self._best_path = os.path.join(self.directory,
+                                       "best_weights.msgpack")
 
     def _read_meta(self) -> Dict:
         if os.path.exists(self._meta_path):
@@ -101,6 +103,14 @@ class CheckpointStore:
         if test_dice > meta.get("best_dice", -1.0):
             meta["best_dice"] = float(test_dice)
             meta["best_epoch"] = epoch
+            # Persist the best epoch's WEIGHTS outside orbax retention:
+            # max_to_keep prunes old epochs, which used to delete the best
+            # checkpoint while meta.json kept pointing at it.  A standalone
+            # msgpack (the same format as the final-weights artifact, so
+            # predict/evaluate/export-torch load it directly) survives any
+            # retention policy; the D2H fetch happens only on improving
+            # epochs.
+            save_weights(self._best_path, state)
             self._write_meta(meta)
 
     def latest_epoch(self) -> Optional[int]:
@@ -142,9 +152,36 @@ class CheckpointStore:
         return (state, scheduler, extra["history"], int(extra["epoch"]),
                 int(extra.get("global_step", 0)))
 
+    def restore_weights(self, epoch: Optional[int] = None
+                        ) -> Tuple[Dict, int]:
+        """Weights-only restore: ({'params', 'batch_stats'?}, epoch).
+
+        Template-free orbax read — no second model init and no optimizer
+        moment allocation (predict/evaluate/export never touch opt_state;
+        building an Adam template just to restore into it doubled their
+        cold-start, ~15 s/init for CSWin over a remote-TPU link)."""
+        epoch = epoch if epoch is not None else self.manager.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = self.manager.restore(
+            epoch,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore()),
+        )
+        payload = restored["state"]
+        out = {"params": payload["params"]}
+        if "batch_stats" in payload:
+            out["batch_stats"] = payload["batch_stats"]
+        return out, int(epoch)
+
     def best_epoch(self) -> Tuple[int, float]:
         meta = self._read_meta()
         return meta.get("best_epoch", 0), meta.get("best_dice", -1.0)
+
+    def best_weights_path(self) -> Optional[str]:
+        """Path of the best-on-test-Dice weights artifact, if any epoch has
+        been saved (weights-only msgpack; optimizer state lives in the
+        epoch checkpoints)."""
+        return self._best_path if os.path.exists(self._best_path) else None
 
     def close(self) -> None:
         self.manager.close()

@@ -32,7 +32,7 @@ from cswin_simam_unet_tpu.train.losses import segmentation_loss
 from cswin_simam_unet_tpu.train.metrics import (
     dice_coefficient,
     iou_score,
-    multiclass_dice,
+    multiclass_metrics,
     threshold_predictions,
 )
 from cswin_simam_unet_tpu.train.schedule import ReduceLROnPlateau
@@ -135,17 +135,8 @@ def _batch_metrics(logits, targets, n_classes: int):
         preds = threshold_predictions(logits.astype(jnp.float32), thresh=0.0)
         return dice_coefficient(preds, targets), iou_score(preds, targets)
     # argmax(softmax(x)) == argmax(x): the softmax pass is skippable too
-    scores = logits.astype(jnp.float32)
     onehot = jax.nn.one_hot(targets, n_classes, dtype=jnp.float32)
-    d = multiclass_dice(scores, onehot)
-    pred_onehot = jax.nn.one_hot(jnp.argmax(scores, -1), n_classes,
-                                 dtype=jnp.float32)
-    axes = tuple(range(pred_onehot.ndim - 1))
-    inter = jnp.sum(pred_onehot * onehot, axis=axes)
-    union = (jnp.sum(pred_onehot, axis=axes) + jnp.sum(onehot, axis=axes)
-             - inter)
-    iou = jnp.mean((inter + 1e-6) / (union + 1e-6))
-    return d, iou
+    return multiclass_metrics(logits.astype(jnp.float32), onehot)
 
 
 def _flat_head(model, n_classes: int) -> bool:

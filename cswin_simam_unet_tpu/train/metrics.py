@@ -14,6 +14,7 @@ them *uniformly over batches* (not samples), matching the reference
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,14 +43,27 @@ def threshold_predictions(probs: jnp.ndarray, thresh: float = 0.5) -> jnp.ndarra
     return (probs > thresh).astype(jnp.float32)
 
 
-def multiclass_dice(probs: jnp.ndarray, target_onehot: jnp.ndarray,
-                    smooth: float = 1e-6) -> jnp.ndarray:
-    """Mean per-class Dice for multi-class segmentation (framework extension
-    for BASELINE.json config 5; argmax predictions vs one-hot targets)."""
-    n_classes = probs.shape[-1]
-    pred = jnp.argmax(probs, axis=-1)
-    pred_onehot = jnp.eye(n_classes, dtype=jnp.float32)[pred]
+def multiclass_metrics(scores: jnp.ndarray, target_onehot: jnp.ndarray,
+                       smooth: float = 1e-6
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean per-class Dice, mean per-class IoU) for multi-class
+    segmentation (framework extension for BASELINE.json config 5; argmax
+    predictions vs one-hot targets).  ``scores`` may be logits or
+    probabilities — only their argmax is used.  One pred one-hot and one
+    set of class reductions feed both metrics."""
+    n_classes = scores.shape[-1]
+    pred_onehot = jax.nn.one_hot(jnp.argmax(scores, axis=-1), n_classes,
+                                 dtype=jnp.float32)
     axes = tuple(range(pred_onehot.ndim - 1))
     intersection = jnp.sum(pred_onehot * target_onehot, axis=axes)
-    denom = jnp.sum(pred_onehot, axis=axes) + jnp.sum(target_onehot, axis=axes)
-    return jnp.mean((2.0 * intersection + smooth) / (denom + smooth))
+    sp = jnp.sum(pred_onehot, axis=axes)
+    st = jnp.sum(target_onehot, axis=axes)
+    dice = jnp.mean((2.0 * intersection + smooth) / (sp + st + smooth))
+    iou = jnp.mean((intersection + smooth) / (sp + st - intersection + smooth))
+    return dice, iou
+
+
+def multiclass_dice(probs: jnp.ndarray, target_onehot: jnp.ndarray,
+                    smooth: float = 1e-6) -> jnp.ndarray:
+    """Mean per-class Dice (see :func:`multiclass_metrics`)."""
+    return multiclass_metrics(probs, target_onehot, smooth)[0]

@@ -80,6 +80,58 @@ def test_best_dice_tracking(tmp_path):
     store.close()
 
 
+def test_best_weights_survive_retention_pruning(tmp_path):
+    """The best-on-test-Dice WEIGHTS must remain loadable after
+    max_to_keep prunes the best epoch's orbax checkpoint (it used to be
+    deleted while meta.json still pointed at it)."""
+    from cswin_simam_unet_tpu.train.checkpoint import load_weights
+
+    model, state = _state()
+    sched = ReduceLROnPlateau(lr=1e-3)
+    h = {k: [] for k in ("train_loss", "train_dice", "train_iou", "test_loss",
+                         "test_dice", "test_iou", "learning_rates")}
+    store = CheckpointStore(str(tmp_path / "ckpt"), max_to_keep=2)
+
+    def bump(s, delta):  # distinguishable params per epoch
+        return s.replace(params=jax.tree_util.tree_map(
+            lambda x: x + delta, s.params))
+
+    best_state = bump(state, 1.0)
+    store.save_epoch(1, bump(state, 0.5), sched, h, test_dice=0.5)
+    store.save_epoch(2, best_state, sched, h, test_dice=0.9)  # the best
+    store.save_epoch(3, bump(state, 2.0), sched, h, test_dice=0.6)
+    store.save_epoch(4, bump(state, 3.0), sched, h, test_dice=0.4)
+    store.manager.wait_until_finished()
+    # epoch 2 pruned by max_to_keep=2 ...
+    assert 2 not in store.manager.all_steps()
+    epoch, dice = store.best_epoch()
+    assert epoch == 2 and abs(dice - 0.9) < 1e-9
+    # ... but its weights artifact survives and holds epoch-2 params
+    path = store.best_weights_path()
+    assert path is not None
+    _, fresh = _state(seed=1)
+    loaded = load_weights(path, fresh)
+    _trees_equal(best_state.params, loaded.params)
+    store.close()
+
+
+def test_restore_weights_matches_full_restore(tmp_path):
+    """Template-free weights-only restore (predict/evaluate path) returns
+    the same params/batch_stats as the full restore."""
+    model, state = _state()
+    sched = ReduceLROnPlateau(lr=1e-3)
+    h = {k: [] for k in ("train_loss", "train_dice", "train_iou", "test_loss",
+                         "test_dice", "test_iou", "learning_rates")}
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.save_epoch(1, state, sched, h, test_dice=0.5)
+    store.manager.wait_until_finished()
+    payload, epoch = store.restore_weights()
+    assert epoch == 1
+    _trees_equal(state.params, payload["params"])
+    _trees_equal(state.batch_stats, payload["batch_stats"])
+    store.close()
+
+
 @pytest.mark.slow
 def test_checkpoint_every_period(tmp_path):
     """checkpoint_every=N saves only every Nth epoch plus the final one

@@ -131,6 +131,33 @@ def test_distributed_helpers_single_process():
     assert arr.sharding.spec[0] == "data"
 
 
+def test_process_local_indices_ragged_tail_consistent():
+    """Per-process slices must stay consistent across processes: an evenly
+    divisible ragged tail is split, an indivisible one is dropped EVERYWHERE
+    (a lopsided split desyncs multi-host batch counts/shapes)."""
+    from cswin_simam_unet_tpu.parallel import process_local_indices
+
+    idx = np.arange(21)
+    # 2 processes, global batch 8: tail of 5 cannot split -> dropped on both
+    shards = [process_local_indices(idx, 8, process=p, count=2)
+              for p in range(2)]
+    assert [len(s) for s in shards] == [8, 8]
+    np.testing.assert_array_equal(np.sort(np.concatenate(shards)),
+                                  np.arange(16))
+    # tail of 6 splits evenly over 2 -> kept, 3 rows each
+    idx = np.arange(22)
+    shards = [process_local_indices(idx, 8, process=p, count=2)
+              for p in range(2)]
+    assert [len(s) for s in shards] == [11, 11]
+    np.testing.assert_array_equal(np.sort(np.concatenate(shards)), idx)
+    # full batches reproduce the single-host order exactly per batch
+    for b in range(2):
+        want = idx[b * 8:(b + 1) * 8]
+        got = np.concatenate([shards[p][b * 4:(b + 1) * 4]
+                              for p in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fit_data_parallel_matches_single_device():
     """End-to-end DP training through the real entrypoint path: fit() with a
     mesh must produce the same loss trajectory as single-device fit()

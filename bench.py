@@ -55,6 +55,11 @@ def main():
     p.add_argument("--no-train-drops", dest="train_drops",
                    action="store_false",
                    help="dropout-free variant (inference-style step)")
+    p.add_argument("--augment", action="store_true",
+                   help="include the on-device augmentation pipeline "
+                        "(paired flip/rot90/crop-resize under jit) in the "
+                        "timed step — BASELINE.json config 4's "
+                        "'with on-device augmentation' measurement")
     args = p.parse_args()
 
     import jax
@@ -110,7 +115,12 @@ def main():
                                (1, img, img, 3), opt, 1e-4, 1e-4)
 
     if args.mode == "train":
-        step = make_train_step(model, n_classes=1, augment=None, donate=True)
+        augment = None
+        if args.augment:
+            from cswin_simam_unet_tpu.data.augment import AugmentConfig
+            augment = AugmentConfig()
+        step = make_train_step(model, n_classes=1, augment=augment,
+                               donate=True)
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (batch, img, img, 3), dtype=np.uint8)
     masks = (rs.randint(0, 2, (batch, img, img, 1), dtype=np.uint8) * 255)

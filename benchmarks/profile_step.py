@@ -54,6 +54,8 @@ def main():
                         "uint8 -> normalise -> forward -> probabilities), "
                         "matching bench.py --mode infer")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="include the on-device augmentation in the step")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--raw", action="store_true",
                    help="also print top raw (uncanonicalised) ops with shapes")
@@ -96,7 +98,12 @@ def main():
             probs = predict(variables, images)
             return state, {"loss": jnp.mean(probs)}
     else:
-        step = make_train_step(model, n_classes=1, augment=None, donate=True)
+        augment = None
+        if args.augment:
+            from cswin_simam_unet_tpu.data.augment import AugmentConfig
+            augment = AugmentConfig()
+        step = make_train_step(model, n_classes=1, augment=augment,
+                               donate=True)
     rs = np.random.RandomState(0)
     images = jax.device_put(
         rs.randint(0, 256, (args.batch, img, img, 3), dtype=np.uint8))

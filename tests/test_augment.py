@@ -92,6 +92,62 @@ def test_mask_image_alignment_preserved():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mask_nearest", [False, True])
+def test_matrix_resample_matches_gather_oracle(mask_nearest):
+    """The separable-matrix augmentation must equal the gather/select
+    formulation draw-for-draw (same keys -> same transform params) across
+    many seeds, hitting every flip/rot/crop combination."""
+    from cswin_simam_unet_tpu.data.augment import _augment_batch_gather
+
+    cfg = AugmentConfig(mask_nearest=mask_nearest)
+    rs = np.random.RandomState(11)
+    imgs = jnp.asarray(rs.rand(4, 24, 24, 3).astype(np.float32))
+    masks = jnp.asarray(
+        (rs.randint(0, 4, (4, 24, 24, 1)) if mask_nearest
+         else rs.rand(4, 24, 24, 1)).astype(np.float32))
+    for seed in range(8):
+        rng = jax.random.PRNGKey(seed)
+        gi, gm = _augment_batch_gather(rng, imgs, masks, cfg)
+        mi, mm = augment_batch(rng, imgs, masks, cfg)
+        np.testing.assert_allclose(np.asarray(mi), np.asarray(gi),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(gm),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_matrix_resample_forced_transforms():
+    """Pin each rot90 k with both flips and compare against numpy's own
+    flip/rot90 (crop disabled) — catches sign/swap errors the oracle-vs-
+    matrix test could share."""
+    from cswin_simam_unet_tpu.data.augment import (
+        _coord_transforms,
+        _interp_matrix,
+        _resample,
+    )
+
+    rs = np.random.RandomState(12)
+    img = rs.rand(1, 12, 12, 2).astype(np.float32)
+    ident = (np.arange(12, dtype=np.float32) + 0.0)[None, :]
+    for k in range(4):
+        for hf in (False, True):
+            for vf in (False, True):
+                want = img[0]
+                if hf:
+                    want = want[:, ::-1]
+                if vf:
+                    want = want[::-1]
+                want = np.rot90(want, k)
+                r, c, swap = _coord_transforms(
+                    jnp.asarray([hf]), jnp.asarray([vf]),
+                    jnp.asarray([k]), jnp.asarray(ident),
+                    jnp.asarray(ident), 12)
+                got = _resample(jnp.asarray(img), _interp_matrix(r, 12),
+                                _interp_matrix(c, 12), swap)
+                np.testing.assert_allclose(np.asarray(got)[0], want,
+                                           rtol=1e-6, atol=1e-6,
+                                           err_msg=f"k={k} hf={hf} vf={vf}")
+
+
 def test_augment_is_jittable_and_deterministic():
     cfg = AugmentConfig()
     rs = np.random.RandomState(5)

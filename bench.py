@@ -38,6 +38,11 @@ def main():
                    help="CSWin block rematerialisation (memory-limited "
                         "configs, e.g. 2048^2; measured LOSS at 512^2 "
                         "batch 8 — see BASELINE.md)")
+    p.add_argument("--scan-stages", action="store_true",
+                   help="lax.scan over multi-block CSWin stages (stacked "
+                        "params) — identical deterministic math, much "
+                        "cheaper cold compiles; for measuring the "
+                        "compile-time/throughput trade")
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
     p.add_argument("--mode", default="train", choices=["train", "infer"],
                    help="'train' = full fwd+bwd+optimizer step (the "
@@ -109,7 +114,7 @@ def main():
             img_size=img, use_simam=True, split_size=split,
             num_classes=1, drop_rate=dr, attn_drop_rate=dr,
             drop_path_rate=dr, use_pallas=use_pallas, dtype=dtype,
-            remat=remat)
+            remat=remat, scan_stages=args.scan_stages)
         opt = "adamw"
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, img, img, 3), opt, 1e-4, 1e-4)

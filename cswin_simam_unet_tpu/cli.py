@@ -74,6 +74,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "memory-frugal), 'dots' keeps matmul outputs. "
                         "Slower per step at <=1024^2 (BASELINE.md) — use "
                         "for resolutions that otherwise OOM")
+    t.add_argument("--scan-stages", action="store_true",
+                   help="lax.scan over multi-block CSWin stages (stacked "
+                        "params): identical deterministic outputs, much "
+                        "cheaper cold XLA compiles — use for very large "
+                        "images where the unrolled graph strains the "
+                        "compiler")
     t.add_argument("--cache-decoded", action="store_true",
                    help="cache decoded+resized samples in host RAM after "
                         "epoch 1 (H*W*4 bytes/sample); identical values, "
@@ -186,6 +192,8 @@ def run_train(args) -> int:
     if args.remat is not None:
         overrides["model_remat"] = (True if args.remat == "block"
                                     else args.remat)
+    if args.scan_stages:
+        overrides["model_scan_stages"] = True
     cfg = get_config(args.config, **overrides)
     if args.no_augment:
         cfg = dataclasses.replace(cfg, augment=None)

@@ -81,7 +81,15 @@ def merge_imported_variables(variables: dict, imported: dict,
                 f"checkpoint{f' {source}' if source else ''} provides "
                 f"'{col}' but the configured model has none — --config "
                 f"does not match the checkpoint's architecture")
-        out[col] = _cast_like(variables[col], imported[col], col, source)
+        new = imported[col]
+        if col == "params":
+            # transparently stack/unstack multi-block stages so checkpoints
+            # move freely between scan_stages=True/False models
+            from cswin_simam_unet_tpu.models.scan_params import (
+                adapt_scan_layout,
+            )
+            new = adapt_scan_layout(variables[col], new)
+        out[col] = _cast_like(variables[col], new, col, source)
     return out
 
 

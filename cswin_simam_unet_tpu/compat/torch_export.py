@@ -139,6 +139,13 @@ def export_cswin_variables(variables: dict,
     """Flax CSWinUNet variables -> reference CSWinTransformer state_dict
     (train_cswinunet_segmentation.py:489-688)."""
     params = variables["params"]
+    if any(k.endswith("_scan") for k in params):
+        # scan_stages=True training run: unstack to the unrolled layout the
+        # reference's per-block names require
+        from cswin_simam_unet_tpu.models.scan_params import (
+            unstack_scanned_params,
+        )
+        params = unstack_scanned_params(params)
     out: Dict[str, np.ndarray] = {}
     _conv(out, params["embed_conv"], "stage1_conv_embed.0")
     _norm(out, params["embed_norm"], "stage1_conv_embed.2")

@@ -44,6 +44,10 @@ class ModelConfig:
     # block recomputes — most memory-frugal), or 'dots' (dots_saveable
     # policy).  Measured trade-offs in BASELINE.md.
     remat: object = False
+    # lax.scan over multi-block stages (stacked params, one traced block per
+    # stage) — identical deterministic outputs, much cheaper cold compiles
+    # (see models/scan_params.py for checkpoint-layout conversion)
+    scan_stages: bool = False
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
 
@@ -84,7 +88,8 @@ def build_model(cfg: ModelConfig, image_size: int):
             qkv_bias=cfg.qkv_bias, drop_rate=cfg.drop_rate,
             attn_drop_rate=cfg.attn_drop_rate,
             drop_path_rate=cfg.drop_path_rate, use_simam=cfg.use_simam,
-            use_pallas=cfg.use_pallas, remat=cfg.remat, dtype=dtype)
+            use_pallas=cfg.use_pallas, remat=cfg.remat,
+            scan_stages=cfg.scan_stages, dtype=dtype)
     raise ValueError(f"unknown model family: {cfg.family}")
 
 

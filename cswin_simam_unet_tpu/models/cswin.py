@@ -111,6 +111,13 @@ class CSWinUNet(nn.Module):
     # the fused backward kernel.  Both stay available for memory-limited
     # configs (e.g. beyond 1024^2); neither belongs in the fast path.
     remat: Union[bool, str] = False
+    # lax.scan over the blocks of each multi-block stage (stacked params,
+    # one traced block per stage instead of `depth` unrolled copies).  Same
+    # deterministic outputs as the unrolled form (see
+    # models/scan_params.py for the param-layout converters); much smaller
+    # XLA graph, so cold compiles are far cheaper — the win that matters for
+    # very large images where the unrolled graph exhausts the compiler.
+    scan_stages: bool = False
     dtype: Dtype = jnp.float32
 
     def _block_kw(self, stage: int, reso: int, dpr: float,
@@ -174,14 +181,27 @@ class CSWinUNet(nn.Module):
         tokens = FastDropout(self.drop_rate)(tokens, deterministic)
 
         # ---- encoder (ref :625-650); skips returned, not stored ----
+        from cswin_simam_unet_tpu.models.layers import scan_blocks
+
+        def run_stage(tokens, s: int, name: str, last: bool):
+            if self.scan_stages and depth[s] > 1:
+                dpr_s = jnp.asarray(dpr[starts[s]:starts[s] + depth[s]],
+                                    jnp.float32)
+                tokens, _ = scan_blocks(
+                    depth[s], self._block_kw(s, resos[s], 0.0, last),
+                    deterministic, self.remat, f"{name}_scan")(tokens, dpr_s)
+                return tokens
+            for i in range(depth[s]):
+                tokens = Block(
+                    name=f"{name}_{i}",
+                    **self._block_kw(s, resos[s], dpr[starts[s] + i], last),
+                )(tokens, deterministic)
+            return tokens
+
         skips = []
         for s in range(4):
             last = s == 3
-            for i in range(depth[s]):
-                tokens = Block(
-                    name=f"stage{s + 1}_{i}",
-                    **self._block_kw(s, resos[s], dpr[starts[s] + i], last),
-                )(tokens, deterministic)
+            tokens = run_stage(tokens, s, f"stage{s + 1}", last)
             if not last:
                 skips.append(tokens)
                 tokens = MergeBlock(E * 2 ** (s + 1), use_simam=self.use_simam,
@@ -192,11 +212,7 @@ class CSWinUNet(nn.Module):
                                 name="norm")(tokens)
 
         # ---- decoder (ref :653-672) ----
-        for i in range(depth[3]):
-            tokens = Block(
-                name=f"stage_up4_{i}",
-                **self._block_kw(3, resos[3], dpr[starts[3] + i], True),
-            )(tokens, deterministic)
+        tokens = run_stage(tokens, 3, "stage_up4", True)
         for s in (2, 1, 0):
             dim = E * 2 ** s
             tokens = CARAFE(dim, up_factor=2, use_simam=self.use_simam,
@@ -206,11 +222,7 @@ class CSWinUNet(nn.Module):
             tokens = jnp.concatenate([skips[s], tokens], axis=-1)  # skip first (ref :657)
             tokens = nn.Dense(dim, kernel_init=dense_init, dtype=self.dtype,
                               name=f"concat_linear{s + 2}")(tokens)
-            for i in range(depth[s]):
-                tokens = Block(
-                    name=f"stage_up{s + 1}_{i}",
-                    **self._block_kw(s, resos[s], dpr[starts[s] + i]),
-                )(tokens, deterministic)
+            tokens = run_stage(tokens, s, f"stage_up{s + 1}", False)
         tokens = FusedLayerNorm(dtype=self.dtype,
                                 name="norm_up")(tokens)
 

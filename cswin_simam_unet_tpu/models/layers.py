@@ -92,10 +92,18 @@ class DropPath(nn.Module):
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 rate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``rate`` (a traced scalar) overrides the static ``self.rate`` —
+        used by the scan-over-blocks path, where the per-block stochastic-
+        depth rate is a scanned input rather than a Python constant."""
+        if rate is None:
+            if self.rate == 0.0 or deterministic:
+                return x
+            rate = self.rate
+        elif deterministic:
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - rate
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
@@ -207,7 +215,8 @@ class CSWinBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 drop_path_rate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         C = self.dim
         last = self.last_stage or (self.reso == self.split_size)
         h = FusedLayerNorm(dtype=self.dtype,
@@ -238,13 +247,61 @@ class CSWinBlock(nn.Module):
         attn_out = nn.Dense(C, kernel_init=dense_init, dtype=self.dtype,
                             name="proj")(attn_out)
         # NB: the reference defines proj_drop but never applies it (ref :366-368).
-        x = x + DropPath(self.drop_path, name="drop_path")(attn_out, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path")(
+            attn_out, deterministic, drop_path_rate)
         h2 = FusedLayerNorm(dtype=self.dtype,
                             name="norm2")(x)
         mlp_out = Mlp(int(C * self.mlp_ratio), C, drop=self.drop,
                       dtype=self.dtype, name="mlp")(h2, deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            mlp_out, deterministic, drop_path_rate)
         return x
+
+
+class BlockScanCell(nn.Module):
+    """One ``lax.scan`` iteration over a stack of identical-geometry
+    CSWinBlocks (carry = tokens; scanned input = that block's stochastic-
+    depth rate).  Used by ``CSWinUNet(scan_stages=True)``: the deep stages
+    (e.g. the reference's 9-block stage 3, ref :514-552) trace ONE block and
+    scan it over stacked params instead of unrolling 9 copies into the XLA
+    graph — a large compile-time/graph-size win with identical deterministic
+    outputs (train-mode dropout streams differ by rng fold order only).
+    """
+
+    block_kw: Any  # tuple(sorted(kwargs.items())) minus drop_path
+    deterministic: bool
+    remat: Any = False
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, dpr_i: jnp.ndarray):
+        if self.remat == "dots":
+            Block = nn.remat(CSWinBlock, static_argnums=(2,),
+                             policy=jax.checkpoint_policies.dots_saveable)
+        elif self.remat:
+            Block = nn.remat(CSWinBlock, static_argnums=(2,))
+        else:
+            Block = CSWinBlock
+        tokens = Block(**dict(self.block_kw), drop_path=0.0, name="block")(
+            tokens, self.deterministic, dpr_i)
+        return tokens, None
+
+
+def scan_blocks(n: int, block_kw: dict, deterministic: bool, remat,
+                name: str):
+    """A scanned stack of ``n`` CSWinBlocks sharing static ``block_kw``
+    (params stacked on axis 0 under ``<name>/block``).  Call with
+    ``(tokens, dpr_array)`` where ``dpr_array`` has shape (n,)."""
+    kw = dict(block_kw)
+    kw.pop("drop_path", None)
+    scanned = nn.scan(
+        BlockScanCell,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=0, out_axes=0,
+        length=n,
+    )
+    return scanned(block_kw=tuple(sorted(kw.items(), key=lambda kv: kv[0])),
+                   deterministic=deterministic, remat=remat, name=name)
 
 
 class MergeBlock(nn.Module):

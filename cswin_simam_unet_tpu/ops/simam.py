@@ -47,7 +47,7 @@ def simam(x: jnp.ndarray, lam: float = 1e-4) -> jnp.ndarray:
     """
     H, W = x.shape[-3], x.shape[-2]
     N = H * W
-    n = N - 1
+    n = max(N - 1, 1)  # degenerate 1x1 maps: v = 0, gate = sigmoid(0.5)
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(-3, -2), keepdims=True)
     s2 = jnp.sum(jnp.square(xf), axis=(-3, -2), keepdims=True)
@@ -62,7 +62,7 @@ def _flat_stats(x_flat, groups: int):
     B, H, W, GC = x_flat.shape
     C = GC // groups
     N = H * W * groups
-    n = N - 1
+    n = max(N - 1, 1)
     xf = x_flat.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(1, 2))                 # (B, G*C), one read pass
     s2 = jnp.sum(jnp.square(xf), axis=(1, 2))     # fused into the same pass
@@ -106,7 +106,7 @@ def _simam_flat_bwd(groups, lam, residuals, dy):
     B, H, W, GC = x_flat.shape
     C = GC // groups
     N = H * W * groups
-    n = N - 1
+    n = max(N - 1, 1)
     w = 1.0 / (4.0 * (v + lam))                   # (B, 1, 1, G*C)
 
     xf = x_flat.astype(jnp.float32)

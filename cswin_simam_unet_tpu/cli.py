@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-every", type=int, default=1,
                    help="checkpoint period in epochs (0 = final epoch only; "
                         "each save fetches ~full train state off-device)")
+    t.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation micro-batches per optimizer "
+                        "step (batch size must divide evenly); effective-"
+                        "batch training for memory-limited image sizes")
     t.add_argument("--remat", choices=["block", "dots"], default=None,
                    help="backward rematerialisation for CSWin blocks: "
                         "'block' recomputes whole blocks (most "
@@ -270,7 +274,7 @@ def run_train(args) -> int:
         plateau_patience=cfg.plateau_patience,
         plateau_min_lr=cfg.plateau_min_lr, seed=cfg.seed,
         checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
-        tensorboard_dir=args.tensorboard_dir)
+        grad_accum=args.grad_accum, tensorboard_dir=args.tensorboard_dir)
 
     if args.init_weights:
         variables = {"params": state.params}

@@ -139,6 +139,37 @@ def _batch_metrics(logits, targets, n_classes: int):
     return multiclass_metrics(logits.astype(jnp.float32), onehot)
 
 
+def _metric_sums(logits, targets, n_classes: int) -> jnp.ndarray:
+    """Raw (intersection, |P|, |T|) sums, shape (3, n_classes).
+
+    Dice/IoU are ratios of global sums, so micro-batch sums ADD — a
+    gradient-accumulated step can reduce these across micro-batches and
+    recover *exactly* the metrics the full batch would produce (a mean of
+    per-micro Dice values would not).
+    """
+    if n_classes == 1:
+        preds = threshold_predictions(logits.astype(jnp.float32), thresh=0.0)
+        p = preds.reshape(-1)
+        t = targets.reshape(-1).astype(jnp.float32)
+        return jnp.stack([jnp.sum(p * t), jnp.sum(p), jnp.sum(t)])[:, None]
+    pred_onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), n_classes,
+                                 dtype=jnp.float32)
+    target_onehot = jax.nn.one_hot(targets, n_classes, dtype=jnp.float32)
+    axes = tuple(range(pred_onehot.ndim - 1))
+    return jnp.stack([jnp.sum(pred_onehot * target_onehot, axis=axes),
+                      jnp.sum(pred_onehot, axis=axes),
+                      jnp.sum(target_onehot, axis=axes)])
+
+
+def _metrics_from_sums(sums: jnp.ndarray, smooth: float = 1e-6):
+    """(mean per-class Dice, mean per-class IoU) from stacked (3, C) sums;
+    identical to dice_coefficient/iou_score (C=1) and multiclass_metrics."""
+    inter, sp, st = sums[0], sums[1], sums[2]
+    dice = jnp.mean((2.0 * inter + smooth) / (sp + st + smooth))
+    iou = jnp.mean((inter + smooth) / (sp + st - inter + smooth))
+    return dice, iou
+
+
 def _flat_head(model, n_classes: int) -> bool:
     """Use the model's pre-pixel-shuffle logits layout in the step?  BCE and
     dice/IoU are global means over pixels (permutation-invariant), so the
@@ -150,11 +181,59 @@ def _flat_head(model, n_classes: int) -> bool:
 
 def make_train_step(model, n_classes: int = 1,
                     augment: Optional[AugmentConfig] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, grad_accum: int = 1) -> Callable:
     """Build the jitted train step: (state, images_u8, masks_u8, rng) ->
-    (state, {'loss','dice','iou'})."""
+    (state, {'loss','dice','iou'}).
+
+    ``grad_accum=A`` (framework extension; nothing equivalent in the
+    reference) splits the batch into A equal micro-batches under
+    ``lax.scan``, averaging the gradients and taking ONE optimizer step —
+    effective-batch training for memory-limited configs (1024²+/2048²
+    where per-chip batch is 1-2).  Loss and Dice/IoU are reduced from raw
+    sums, so the reported metrics equal the full batch's exactly; with
+    dropout/augment active the per-micro RNG folds differ from the
+    single-shot step's (a different, equally valid sample).  BatchNorm
+    running stats update sequentially per micro-batch.
+    """
     flat = _flat_head(model, n_classes)
     apply_kw = {"flat_logits": True} if flat else {}
+    accum = int(grad_accum)
+    if accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def _prep(images_u8, masks_u8, k_aug):
+        """uint8 micro-batch -> (normalised images, final targets)."""
+        images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
+        if augment is not None:
+            images, masks = augment_batch(k_aug, images, masks, augment)
+        targets = _finalize_targets(masks, n_classes)
+        if flat and augment is not None:
+            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
+            targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
+        return images, targets
+
+    def _loss_grads(params, batch_stats, images, targets, k_drop):
+        use_bn = batch_stats is not None
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if use_bn:
+                variables["batch_stats"] = batch_stats
+                logits, updates = model.apply(
+                    variables, images, train=True,
+                    rngs={"dropout": k_drop}, mutable=["batch_stats"],
+                    **apply_kw)
+                new_bs = updates["batch_stats"]
+            else:
+                logits = model.apply(variables, images, train=True,
+                                     rngs={"dropout": k_drop}, **apply_kw)
+                new_bs = None
+            loss = segmentation_loss(logits, targets, n_classes)
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return loss, jax.lax.stop_gradient(logits), new_bs, grads
 
     def step(state: TrainState, images_u8, masks_u8, rng):
         k_aug, k_drop = jax.random.split(rng)
@@ -165,39 +244,77 @@ def make_train_step(model, n_classes: int = 1,
             # resolution until after the paired transform.
             from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
             masks_u8 = pixel_unshuffle(masks_u8, model.FLAT_HEAD_FACTOR)
-        images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
-        if augment is not None:
-            images, masks = augment_batch(k_aug, images, masks, augment)
-        targets = _finalize_targets(masks, n_classes)
-        if flat and augment is not None:
-            from cswin_simam_unet_tpu.ops.windows import pixel_unshuffle
-            targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
 
-        use_bn = state.batch_stats is not None
+        if accum == 1:
+            images, targets = _prep(images_u8, masks_u8, k_aug)
+            loss, logits, new_bs, grads = _loss_grads(
+                state.params, state.batch_stats, images, targets, k_drop)
+            state = state.apply_gradients(grads=grads)
+            if new_bs is not None:
+                state = state.replace(batch_stats=new_bs)
+            dice, iou = _batch_metrics(logits, targets, n_classes)
+            return state, {"loss": loss, "dice": dice, "iou": iou}
 
-        def loss_fn(params):
-            variables = {"params": params}
-            if use_bn:
-                variables["batch_stats"] = state.batch_stats
-                logits, updates = state.apply_fn(
-                    variables, images, train=True,
-                    rngs={"dropout": k_drop}, mutable=["batch_stats"],
-                    **apply_kw)
-                new_bs = updates["batch_stats"]
-            else:
-                logits = state.apply_fn(variables, images, train=True,
-                                        rngs={"dropout": k_drop}, **apply_kw)
-                new_bs = None
-            loss = segmentation_loss(logits, targets, n_classes)
-            return loss, (logits, new_bs)
+        batch = images_u8.shape[0]
+        if batch % accum == 0:
+            # equal micro-batches: lax.scan, uniform 1/accum weights
+            im = images_u8.reshape(
+                (accum, batch // accum) + images_u8.shape[1:])
+            mk = masks_u8.reshape((accum, batch // accum) + masks_u8.shape[1:])
 
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def micro(carry, xs):
+                grad_sum, batch_stats, loss_sum, metric_sums = carry
+                i, im_i, mk_i = xs
+                images, targets = _prep(im_i, mk_i,
+                                        jax.random.fold_in(k_aug, i))
+                loss, logits, new_bs, grads = _loss_grads(
+                    state.params, batch_stats, images, targets,
+                    jax.random.fold_in(k_drop, i))
+                grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+                metric_sums = metric_sums + _metric_sums(logits, targets,
+                                                         n_classes)
+                return (grad_sum, new_bs, loss_sum + loss, metric_sums), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            init = (zero_grads, state.batch_stats,
+                    jnp.zeros((), jnp.float32),
+                    jnp.zeros((3, n_classes), jnp.float32))
+            (grad_sum, new_bs, loss_sum, metric_sums), _ = jax.lax.scan(
+                micro, init, (jnp.arange(accum), im, mk))
+            grads = jax.tree.map(lambda g: g / accum, grad_sum)
+            loss = loss_sum / accum
+        else:
+            # ragged batch (e.g. the loader's partial last batch,
+            # drop_last=False reference semantics): unequal micro-batches
+            # unrolled at trace time, each weighted by its sample share so
+            # loss/grads still equal the full batch's pixel mean exactly.
+            # A ragged batch shape recompiles the plain step too, so the
+            # one-off trace is no extra cost.
+            bounds = np.linspace(0, batch, min(accum, batch) + 1,
+                                 dtype=np.int64)
+            grad_sum = jax.tree.map(jnp.zeros_like, state.params)
+            batch_stats = state.batch_stats
+            loss = jnp.zeros((), jnp.float32)
+            metric_sums = jnp.zeros((3, n_classes), jnp.float32)
+            for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                w = (hi - lo) / batch
+                images, targets = _prep(images_u8[lo:hi], masks_u8[lo:hi],
+                                        jax.random.fold_in(k_aug, i))
+                mloss, logits, batch_stats, grads = _loss_grads(
+                    state.params, batch_stats, images, targets,
+                    jax.random.fold_in(k_drop, i))
+                grad_sum = jax.tree.map(lambda a, g: a + w * g,
+                                        grad_sum, grads)
+                loss = loss + w * mloss
+                metric_sums = metric_sums + _metric_sums(logits, targets,
+                                                         n_classes)
+            grads = grad_sum
+            new_bs = batch_stats
+
         state = state.apply_gradients(grads=grads)
-        if use_bn:
+        if new_bs is not None:
             state = state.replace(batch_stats=new_bs)
-        dice, iou = _batch_metrics(jax.lax.stop_gradient(logits), targets,
-                                   n_classes)
+        dice, iou = _metrics_from_sums(metric_sums)
         return state, {"loss": loss, "dice": dice, "iou": iou}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -255,6 +372,7 @@ class FitConfig:
     plateau_factor: float = 0.5
     plateau_patience: int = 5
     plateau_min_lr: float = 1e-7
+    grad_accum: int = 1  # micro-batches per optimizer step (1 = off)
     seed: int = 42
     log_every: int = 0  # batches; 0 = epoch-level only
     checkpoint_manager: Any = None  # train.checkpoint.CheckpointStore
@@ -292,7 +410,8 @@ def fit(model, state: TrainState, train_loader, test_loader,
     """
     from cswin_simam_unet_tpu.data.pipeline import device_prefetch
 
-    train_step = make_train_step(model, cfg.n_classes, cfg.augment)
+    train_step = make_train_step(model, cfg.n_classes, cfg.augment,
+                                 grad_accum=cfg.grad_accum)
     eval_step = make_eval_step(model, cfg.n_classes)
     if scheduler is None:
         scheduler = ReduceLROnPlateau(

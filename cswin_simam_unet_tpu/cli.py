@@ -68,10 +68,12 @@ def build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-every", type=int, default=1,
                    help="checkpoint period in epochs (0 = final epoch only; "
                         "each save fetches ~full train state off-device)")
-    t.add_argument("--grad-accum", type=int, default=1,
+    t.add_argument("--grad-accum", type=int, default=None,
                    help="gradient-accumulation micro-batches per optimizer "
-                        "step (batch size must divide evenly); effective-"
-                        "batch training for memory-limited image sizes")
+                        "step (default: the config's value, usually 1); "
+                        "effective-batch training for memory-limited image "
+                        "sizes — loss/metrics exactly equal the full "
+                        "batch's, ragged last batches handled")
     t.add_argument("--remat", choices=["block", "dots"], default=None,
                    help="backward rematerialisation for CSWin blocks: "
                         "'block' recomputes whole blocks (most "
@@ -274,7 +276,9 @@ def run_train(args) -> int:
         plateau_patience=cfg.plateau_patience,
         plateau_min_lr=cfg.plateau_min_lr, seed=cfg.seed,
         checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
-        grad_accum=args.grad_accum, tensorboard_dir=args.tensorboard_dir)
+        grad_accum=(args.grad_accum if args.grad_accum is not None
+                    else cfg.grad_accum),
+        tensorboard_dir=args.tensorboard_dir)
 
     if args.init_weights:
         variables = {"params": state.params}
@@ -292,6 +296,11 @@ def run_train(args) -> int:
         state, scheduler, history, start_epoch, global_step = \
             store.restore(state)
         print(f"Resumed from epoch {start_epoch}")
+    elif store.latest_epoch() is not None:
+        print(f"warning: {ckpt_dir} holds checkpoints from a previous run "
+              f"(latest epoch {store.latest_epoch()}); starting FRESH and "
+              f"clearing them — pass --resume to continue that run instead")
+        store.reset()
 
     state, history = fit(model, state, train_loader, test_loader, fit_cfg,
                          history=history, scheduler=scheduler,

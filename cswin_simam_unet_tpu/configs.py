@@ -68,6 +68,9 @@ class TrainRunConfig:
     seed: int = 42
     augment: Optional[AugmentConfig] = field(default_factory=AugmentConfig)
     num_workers: int = 4
+    # gradient-accumulation micro-batches per optimizer step (1 = off);
+    # exact full-batch loss/metric semantics — see train.engine
+    grad_accum: int = 1
     # parallelism
     data_parallel: bool = True  # shard batch over all local devices
     checkpoint_dir: Optional[str] = None
@@ -134,6 +137,19 @@ CONFIGS = {
                            split_size=(1, 2, 8, 8)),
         image_size=512, batch_size=16, optimizer="adamw", learning_rate=1e-4,
         data_parallel=True, output_prefix="cswin_simam_512_dp"),
+    # long-context extension (no reference equivalent — its default config
+    # cannot even run 512², SURVEY.md §6): 1024² on one chip via the
+    # O(stripe)-memory attention kernels; scan_stages keeps the cold compile
+    # tractable and grad_accum=2 gives the 448²-config's effective batch
+    # from batch-1 micro-steps.  Measured 29.9 img/s/chip unrolled at
+    # batch 2 (BASELINE.md "Scaling headroom").
+    "cswin_simam_1024": TrainRunConfig(
+        name="cswin_simam_1024",
+        model=_cswin_model(use_simam=True, split_size=(1, 2, 8, 8),
+                           scan_stages=True, dtype="bfloat16",
+                           use_pallas=True),
+        image_size=1024, batch_size=2, grad_accum=2, optimizer="adamw",
+        learning_rate=1e-4, output_prefix="cswin_simam_1024"),
 }
 
 

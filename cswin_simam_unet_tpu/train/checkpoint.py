@@ -173,6 +173,20 @@ class CheckpointStore:
             out["batch_stats"] = payload["batch_stats"]
         return out, int(epoch)
 
+    def reset(self) -> None:
+        """Clear every saved epoch and the best-Dice records.
+
+        A fresh (non-resume) training run into a directory holding an older
+        run's checkpoints would otherwise inherit its epoch numbering and
+        best-Dice meta — a later ``--resume`` could silently restore the
+        OLD run's epoch.  The CLI calls this when training without
+        ``--resume`` over an existing store."""
+        for step in list(self.manager.all_steps()):
+            self.manager.delete(step)
+        for path in (self._meta_path, self._best_path):
+            if os.path.exists(path):
+                os.remove(path)
+
     def best_epoch(self) -> Tuple[int, float]:
         meta = self._read_meta()
         return meta.get("best_epoch", 0), meta.get("best_dice", -1.0)

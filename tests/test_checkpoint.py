@@ -80,6 +80,33 @@ def test_best_dice_tracking(tmp_path):
     store.close()
 
 
+def test_reset_clears_stale_run(tmp_path):
+    """A fresh (non-resume) run over an old store must not inherit the old
+    run's epochs or best-Dice meta (the CLI calls reset() in that case)."""
+    model, state = _state()
+    sched = ReduceLROnPlateau(lr=1e-3)
+    h = {k: [] for k in ("train_loss", "train_dice", "train_iou", "test_loss",
+                         "test_dice", "test_iou", "learning_rates")}
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.save_epoch(1, state, sched, h, test_dice=0.7)
+    store.save_epoch(2, state, sched, h, test_dice=0.9)
+    store.manager.wait_until_finished()
+    store.close()
+
+    store2 = CheckpointStore(str(tmp_path / "ckpt"))
+    assert store2.latest_epoch() == 2
+    store2.reset()
+    assert store2.latest_epoch() is None
+    assert store2.best_epoch() == (0, -1.0)
+    assert store2.best_weights_path() is None
+    # the new run's records start clean
+    store2.save_epoch(1, state, sched, h, test_dice=0.4)
+    store2.manager.wait_until_finished()
+    assert store2.best_epoch()[1] == pytest.approx(0.4)
+    assert store2.latest_epoch() == 1
+    store2.close()
+
+
 def test_best_weights_survive_retention_pruning(tmp_path):
     """The best-on-test-Dice WEIGHTS must remain loadable after
     max_to_keep prunes the best epoch's orbax checkpoint (it used to be

@@ -43,6 +43,10 @@ def main():
                         "params) — identical deterministic math, much "
                         "cheaper cold compiles; for measuring the "
                         "compile-time/throughput trade")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation micro-batches per optimizer "
+                        "step (train mode): measures the accumulation "
+                        "overhead for memory-limited configs")
     p.add_argument("--model", default="cswin", choices=["cswin", "unet"])
     p.add_argument("--mode", default="train", choices=["train", "infer"],
                    help="'train' = full fwd+bwd+optimizer step (the "
@@ -125,7 +129,7 @@ def main():
             from cswin_simam_unet_tpu.data.augment import AugmentConfig
             augment = AugmentConfig()
         step = make_train_step(model, n_classes=1, augment=augment,
-                               donate=True)
+                               donate=True, grad_accum=args.grad_accum)
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (batch, img, img, 3), dtype=np.uint8)
     masks = (rs.randint(0, 2, (batch, img, img, 1), dtype=np.uint8) * 255)

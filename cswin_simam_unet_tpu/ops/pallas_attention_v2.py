@@ -42,6 +42,18 @@ interpret-testable.
 Measured dead end (kept out, 2026-08-17): carving vertical stripes
 untransposed and transposing in-VMEM — Mosaic's sublane transposes cost
 more than the XLA image transpose they replace (133.9 -> 109.7 img/s).
+
+Measured dead end (kept out, 2026-08-19): hoisting the vertical branch's
+flip out of this op into CSWinBlock — qkv computed from ONE full-channel
+transpose of the normed tokens via the branch's weight columns (row
+permutations commute with channel matmuls) and a per-branch split proj so
+the un-flip rides a full-C tensor, replacing the three half-channel
+(4x lane-padded) q/k/v flips + the output un-flip.  Param-tree-identical
+and numerically correct (grad diff ~5e-4 from split-sum reassociation),
+but a reproducible ~1% LOSS at the 512^2 flagship (151.0-151.2 vs
+152.5-153.0 img/s): the two half-width qkv matmuls (96-lane outputs, two
+dispatches, lost epilogue fusion) cost more than the lane-padded flips
+they remove.
 """
 
 from __future__ import annotations

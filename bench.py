@@ -73,14 +73,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    # persistent compilation cache: first run pays full compile, reruns are
-    # seconds — essential when driving the TPU through the tunnel
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/jax_comp_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # persistent compilation cache (repo-local so it survives VM resets):
+    # first run pays full compile, reruns are seconds — essential when
+    # driving the TPU through the tunnel
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from cswin_simam_unet_tpu.models import CSWinUNet
     from cswin_simam_unet_tpu.parallel import (
         batch_sharding,

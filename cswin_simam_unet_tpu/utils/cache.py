@@ -17,7 +17,24 @@ import os
 
 import jax
 
-DEFAULT_CACHE_DIR = "/tmp/jax_comp_cache"
+# Repo-local (gitignored) so the cache survives VM/tmpfs resets between
+# sessions — a cold flagship train-step compile through the remote-TPU
+# tunnel is ~14 min, a warm one is seconds.  Falls back to /tmp when the
+# package is installed somewhere read-only.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _default_cache_dir() -> str:
+    cand = os.path.join(_REPO_ROOT, ".cache", "jax_tpu")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        return cand
+    except OSError:
+        return "/tmp/jax_comp_cache"
+
+
+DEFAULT_CACHE_DIR = _default_cache_dir()
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:

@@ -22,8 +22,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: the suite's wall time is dominated by CPU
 # XLA compiles of whole CSWin models (~15 of the 18 min); cache keys are
 # HLO-derived so edits invalidate exactly what they change and re-runs of
-# unchanged tests skip compilation entirely.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+# unchanged tests skip compilation entirely.  Repo-local (gitignored) so
+# it survives VM/tmpfs resets between sessions.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -12,19 +12,157 @@ donated jitted step, batch sharded over all available chips.
 benchmarks/baseline_measured.json (the reference publishes no numbers;
 see benchmarks/measure_reference.py for how the denominator is produced and
 on which hardware — recorded in BASELINE.md).
+
+Survivability (the driver runs ``timeout 600 python bench.py`` on a fresh
+clone): the default invocation is an ORCHESTRATOR that (a) seeds the XLA
+persistent compile cache from the committed ``bench_cache/`` entries, (b)
+runs the real measurement in a subprocess with a deadline, (c) falls back
+to ``--scan-stages`` (5x cheaper cold compile, see BASELINE.md) if the
+fast path cannot finish, and (d) ALWAYS prints the JSON line — degraded
+runs report what they measured, failures report value 0 with an ``error``
+field rather than dying silently.  ``--inner`` runs the measurement
+directly (what the orchestrator spawns).
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_HERE, ".cache", "jax_tpu")
+_SEED_DIR = os.path.join(_HERE, "bench_cache")
+
+
+def _seed_compile_cache() -> dict:
+    """Copy committed bench_cache/ entries into the active compile cache.
+
+    Returns the manifest (or {}).  The manifest records the jax version and
+    device generation the entries were compiled for; the orchestrator uses
+    a mismatch as the cold-cache signal to skip the unrolled fast path.
+    """
+    manifest = {}
+    mpath = os.path.join(_SEED_DIR, "MANIFEST.json")
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            manifest = {}
+    if os.path.isdir(_SEED_DIR):
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            import shutil
+            for name in os.listdir(_SEED_DIR):
+                if not name.endswith("-cache"):
+                    continue
+                dst = os.path.join(_CACHE_DIR, name)
+                if not os.path.exists(dst):
+                    shutil.copy2(os.path.join(_SEED_DIR, name), dst)
+        except OSError as e:
+            print(f"bench: cache seed failed ({e}); continuing cold",
+                  file=sys.stderr)
+    return manifest
+
+
+def _run_inner(args, deadline_s):
+    """Run `bench.py --inner <args>` with a wall deadline.
+
+    Returns the parsed JSON result dict, or None.  stderr streams through.
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner"] + args
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, cwd=_HERE,
+                              timeout=max(10.0, deadline_s))
+    except subprocess.TimeoutExpired:
+        print(f"bench: inner run exceeded {deadline_s:.0f}s deadline, "
+              f"killed", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"bench: inner run failed rc={proc.returncode}",
+              file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.decode().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                pass
+    print("bench: inner run produced no JSON line", file=sys.stderr)
+    return None
+
+
+def orchestrate():
+    """Default entry: deadline-guarded measurement with scan-stages fallback.
+
+    Budget model (BENCH_BUDGET_S, default 580 to fit the driver's
+    ``timeout 600``): the unrolled fast path gets the budget minus a
+    reserve large enough for a COLD ``--scan-stages`` run (~113 s compile
+    + device init + measurement, measured in BASELINE.md).  With the
+    committed bench_cache both paths are warm and attempt 1 finishes in
+    ~2-3 min.
+    """
+    t0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "580"))
+    user_args = [a for a in sys.argv[1:] if a != "--inner"]
+    manifest = _seed_compile_cache()
+
+    cache_warm = False
+    if manifest:
+        try:
+            import jax
+            cache_warm = (manifest.get("jax") == jax.__version__ and all(
+                os.path.exists(os.path.join(_CACHE_DIR, n))
+                for n in manifest.get("files", [])))
+        except Exception:
+            cache_warm = False
+    print(f"bench: orchestrator budget {budget:.0f}s, "
+          f"seeded cache warm={cache_warm}", file=sys.stderr)
+
+    can_fallback = ("--scan-stages" not in user_args
+                    and "--model" not in " ".join(user_args))
+    # Measured timings through the axon tunnel (BASELINE.md round 3):
+    # warm unrolled run 75-250 s end-to-end (cache hit + executable load +
+    # a first-execute stall of up to ~4 min observed), warm scan run
+    # ~200 s, COLD scan ~300-400 s (113 s compile + load/stall).  The
+    # fast path only runs when the committed cache is warm, so the
+    # fallback reserve covers a warm scan run.
+    fallback_reserve = 250.0 if can_fallback else 0.0
+
+    result = None
+    remaining = budget - (time.monotonic() - t0)
+    if cache_warm or not can_fallback:
+        result = _run_inner(user_args, remaining - fallback_reserve)
+    else:
+        print("bench: cold cache -> skipping unrolled fast path",
+              file=sys.stderr)
+
+    if result is None and can_fallback:
+        remaining = budget - (time.monotonic() - t0)
+        print("bench: falling back to --scan-stages", file=sys.stderr)
+        result = _run_inner(user_args + ["--scan-stages"], remaining - 5)
+
+    if result is None:
+        # Degraded terminal path: still emit the one parseable JSON line.
+        result = {"metric": "CSWin-SimAM-UNet 512^2 fwd+bwd+step "
+                            "images/sec/chip",
+                  "value": 0.0, "unit": "images/sec/chip",
+                  "vs_baseline": 0.0,
+                  "error": "no measurement completed within budget "
+                           f"({budget:.0f}s); see stderr"}
+    print(json.dumps(result))
+
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--inner", action="store_true",
+                   help="run the measurement in-process (no orchestrator "
+                        "deadline/fallback wrapper)")
     p.add_argument("--batch-per-chip", type=int, default=8)
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
@@ -252,4 +390,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        orchestrate()

@@ -29,8 +29,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()  # shared repo-local cache (survives resets)
 
     import cswin_simam_unet_tpu.ops.pallas_carafe as pc
 

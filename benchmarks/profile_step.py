@@ -63,10 +63,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()  # shared repo-local cache (survives resets)
 
     from cswin_simam_unet_tpu.models import CSWinUNet, UNet
     from cswin_simam_unet_tpu.train.engine import (create_train_state,

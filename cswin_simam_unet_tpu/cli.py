@@ -86,6 +86,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cheaper cold XLA compiles — use for very large "
                         "images where the unrolled graph strains the "
                         "compiler")
+    t.add_argument("--no-progress", action="store_true",
+                   help="disable the live in-epoch progress line "
+                        "(reference tqdm-postfix equivalent; default on)")
+    t.add_argument("--log-every", type=int, default=0,
+                   help="additionally print a full per-batch metrics line "
+                        "every N batches (0 = off)")
     t.add_argument("--cache-decoded", action="store_true",
                    help="cache decoded+resized samples in host RAM after "
                         "epoch 1 (H*W*4 bytes/sample); identical values, "
@@ -278,6 +284,7 @@ def run_train(args) -> int:
         checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
         grad_accum=(args.grad_accum if args.grad_accum is not None
                     else cfg.grad_accum),
+        progress=not args.no_progress, log_every=args.log_every,
         tensorboard_dir=args.tensorboard_dir)
 
     if args.init_weights:

@@ -375,6 +375,10 @@ class FitConfig:
     grad_accum: int = 1  # micro-batches per optimizer step (1 = off)
     seed: int = 42
     log_every: int = 0  # batches; 0 = epoch-level only
+    # Live in-epoch progress line (reference tqdm postfix Loss/Dice/IoU,
+    # train_unet_segmentation.py:335,364-368) — default ON; refreshes from
+    # completed device scalars at a bounded rate, never a per-batch sync.
+    progress: bool = True
     checkpoint_manager: Any = None  # train.checkpoint.CheckpointStore
     # Checkpoint period in epochs; the final epoch is always saved.  Each
     # save fetches the full train state D2H (~280 MB for CSWin-UNet +
@@ -440,6 +444,12 @@ def fit(model, state: TrainState, train_loader, test_loader,
             train_loader.set_epoch(epoch)
         per_batch = []
         n_images = 0
+        progress = None
+        if cfg.verbose and cfg.progress:
+            from cswin_simam_unet_tpu.train.reporting import EpochProgress
+            total = len(train_loader) if hasattr(train_loader, "__len__") \
+                else None
+            progress = EpochProgress(epoch, cfg.num_epochs, total)
         for images, masks in device_prefetch(train_loader,
                                              sharding=data_sharding):
             rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + global_step)
@@ -447,6 +457,11 @@ def fit(model, state: TrainState, train_loader, test_loader,
             per_batch.append(m)  # device scalars; fetched once per epoch
             n_images += images.shape[0]
             global_step += 1
+            if progress is not None:
+                # previous batch's scalars: complete, so the fetch is free
+                progress.update(len(per_batch), n_images,
+                                per_batch[-2] if len(per_batch) > 1
+                                else per_batch[-1])
             if cfg.verbose and cfg.log_every and \
                     len(per_batch) % cfg.log_every == 0:
                 nb = len(per_batch)
@@ -455,6 +470,8 @@ def fit(model, state: TrainState, train_loader, test_loader,
                       f"loss {float(live['loss']):.4f} "
                       f"dice {float(live['dice']):.4f} "
                       f"iou {float(live['iou']):.4f}")
+        if progress is not None:
+            progress.close()
         nb = len(per_batch)
         if nb:
             fetched = jax.device_get(per_batch)

@@ -11,7 +11,62 @@ Schema-compatible with the reference so downstream tooling keeps working:
 from __future__ import annotations
 
 import csv
-from typing import Dict
+import sys
+import time
+from typing import Dict, Optional
+
+
+class EpochProgress:
+    """tqdm-style in-epoch live progress with Loss/Dice/IoU postfix.
+
+    The reference shows per-batch tqdm postfix metrics
+    (train_unet_segmentation.py:335,364-368) at the cost of a device sync
+    per batch (`loss.item()`).  Here the display refreshes from
+    ALREADY-ENQUEUED device scalars at a bounded rate (default 0.5 s), so
+    the async dispatch pipeline is never serialised per batch.  On a TTY a
+    single ``\\r``-updated line; on a plain stream (logfile/CI) one full
+    line at most every ``plain_interval_s`` so logs stay readable.
+    """
+
+    def __init__(self, epoch: int, num_epochs: int,
+                 total_batches: Optional[int] = None,
+                 stream=None, refresh_s: float = 0.5,
+                 plain_interval_s: float = 30.0):
+        self.stream = stream if stream is not None else sys.stderr
+        self.epoch = epoch
+        self.num_epochs = num_epochs
+        self.total = total_batches
+        self.isatty = bool(getattr(self.stream, "isatty", lambda: False)())
+        self.refresh_s = refresh_s if self.isatty else plain_interval_s
+        self._t0 = time.time()
+        self._last = 0.0
+        self._dirty = False
+
+    def update(self, batch_idx: int, n_images: int, metrics) -> None:
+        """metrics: dict of (device or host) scalars for a completed batch."""
+        now = time.time()
+        self._dirty = True
+        if now - self._last < self.refresh_s:
+            return
+        self._last = now
+        vals = {k: float(metrics[k]) for k in ("loss", "dice", "iou")}
+        of = f"/{self.total}" if self.total else ""
+        ips = n_images / max(now - self._t0, 1e-9)
+        line = (f"epoch {self.epoch + 1}/{self.num_epochs} "
+                f"batch {batch_idx}{of}: loss {vals['loss']:.4f} "
+                f"dice {vals['dice']:.4f} iou {vals['iou']:.4f} "
+                f"({ips:.1f} img/s)")
+        if self.isatty:
+            self.stream.write("\r  " + line + "\x1b[K")
+        else:
+            self.stream.write("  " + line + "\n")
+        self.stream.flush()
+        self._dirty = False
+
+    def close(self) -> None:
+        if self.isatty and self._dirty is not None:
+            self.stream.write("\r\x1b[K")
+            self.stream.flush()
 
 
 def save_metrics_to_csv(history: Dict[str, list], path: str) -> None:

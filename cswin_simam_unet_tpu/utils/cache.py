@@ -19,22 +19,28 @@ import jax
 
 # Repo-local (gitignored) so the cache survives VM/tmpfs resets between
 # sessions — a cold flagship train-step compile through the remote-TPU
-# tunnel is ~14 min, a warm one is seconds.  Falls back to /tmp when the
-# package is installed somewhere read-only.
+# tunnel is ~14 min, a warm one is seconds.  The repo-local path is only
+# used when the resolved root actually IS a repo checkout (marker check):
+# for an installed site-packages copy we fall back to /tmp rather than
+# silently creating site-packages/.cache.  Directory resolution happens
+# lazily inside enable_compilation_cache() — importing this module has no
+# filesystem side effects.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def _default_cache_dir() -> str:
-    cand = os.path.join(_REPO_ROOT, ".cache", "jax_tpu")
+def default_cache_dir() -> str:
+    """Resolve (and create) the default cache dir; no import-time effects."""
+    if os.path.exists(os.path.join(_REPO_ROOT, "bench.py")) or \
+            os.path.isdir(os.path.join(_REPO_ROOT, ".git")):
+        cand = os.path.join(_REPO_ROOT, ".cache", "jax_tpu")
+    else:
+        cand = "/tmp/jax_comp_cache"
     try:
         os.makedirs(cand, exist_ok=True)
         return cand
     except OSError:
         return "/tmp/jax_comp_cache"
-
-
-DEFAULT_CACHE_DIR = _default_cache_dir()
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
@@ -43,7 +49,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return None
     cache_dir = (cache_dir
                  or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                 or DEFAULT_CACHE_DIR)
+                 or default_cache_dir())
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return None
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir

@@ -70,3 +70,16 @@ def test_cswin_parity_default_224():
         img_size=224, depth=(1, 2, 9, 1), split_size=(1, 2, 7, 7),
         num_heads=(2, 4, 8, 16))
     _check(ref, ours, variables, 224, batch=1, tol=5e-4)
+
+
+@pytest.mark.slow
+def test_cswin_parity_reference_default_448():
+    # The config the reference actually SHIPS and trains: 448^2 input,
+    # depth [1,2,9,1], splits [1,2,7,7], heads [2,4,8,16]
+    # (train_cswinunet_segmentation.py:850-862,921-933).  Closes the last
+    # parity-surface gap: goldens at 64^2/224^2 plus this full-default
+    # 448^2 gate cover every geometry the reference can run.
+    ref, ours, variables = _make_pair(
+        img_size=448, depth=(1, 2, 9, 1), split_size=(1, 2, 7, 7),
+        num_heads=(2, 4, 8, 16))
+    _check(ref, ours, variables, 448, batch=1, tol=5e-4)

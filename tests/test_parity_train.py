@@ -134,6 +134,33 @@ def test_cswin_train_trajectory_matches_reference():
     _assert_trajectories_match(got, want, loss_atol=5e-4, dice_atol=3e-3)
 
 
+@pytest.mark.slow
+def test_cswin_train_trajectory_reference_default_448():
+    # The exact shipped recipe at the exact shipped geometry: 448^2,
+    # depth [1,2,9,1], splits [1,2,7,7], heads [2,4,8,16], AdamW
+    # lr 1e-4 wd 1e-4 (train_cswinunet_segmentation.py:850-862,921-951).
+    # 2 steps at batch 1 bound the CPU cost; per-step loss AND thresholded
+    # Dice must track the torch reference from identical imported weights.
+    mod = load_reference("cswin")
+    torch.manual_seed(0)
+    depth, split, heads = (1, 2, 9, 1), (1, 2, 7, 7), (2, 4, 8, 16)
+    ref = mod.CSWinTransformer(
+        img_size=448, in_chans=3, num_classes=1, embed_dim=64,
+        depth=list(depth), split_size=list(split), num_heads=list(heads),
+        mlp_ratio=4.0, qkv_bias=True, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    variables = import_cswin_state_dict(sd, depth=depth)
+    ours = CSWinUNet(img_size=448, embed_dim=64, depth=depth,
+                     split_size=split, num_heads=heads)
+
+    batches = _batches(2, batch=1, img=448)
+    opt = torch.optim.AdamW(ref.parameters(), lr=LR, weight_decay=WD)
+    want = _torch_trajectory(ref, opt, batches)
+    got = _ours_trajectory(ours, variables, "adamw", batches)
+    _assert_trajectories_match(got, want, loss_atol=5e-4, dice_atol=3e-3)
+
+
 def test_unet_train_trajectory_matches_reference():
     # exercises BatchNorm running-stats updates across steps + coupled-wd
     # Adam (ref train_unet_segmentation.py:486-500)

@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 
 # remote TPU compiles run ~40 s each through the axon tunnel; the
-# persistent cache makes re-runs of this file near-instant
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# shared repo-local persistent cache makes re-runs near-instant
+from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 
 import cswin_simam_unet_tpu.ops.carafe as oc
 import cswin_simam_unet_tpu.ops.pallas_carafe as pc

@@ -1,0 +1,114 @@
+"""Exported-artifact serving latency: StableHLO blob in a fresh process.
+
+Exports the flagship CSWin-SimAM-UNet predict path at the serving batch,
+reloads it via ``serving.load_serving`` (no model code), and measures
+per-call latency with hard value-fetch syncs — the number a deployment
+actually sees.  Complements bench.py --mode infer (in-process, big-batch
+throughput) with the batch-1 cold-deploy story the reference entirely
+lacks (ref :537/:992 — no inference entry point).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def consumer(path, batch, img, iters):
+    """Runs in the fresh process: load artifact, time calls."""
+    from cswin_simam_unet_tpu.serving import load_serving
+    serve = load_serving(path)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 256, (batch, img, img, 3), dtype=np.uint8)
+    t0 = time.perf_counter()
+    out = serve(images)
+    _ = np.asarray(out)  # value fetch = hard sync
+    first = time.perf_counter() - t0
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(serve(images))
+        lat.append(time.perf_counter() - t0)
+    lat = np.array(lat)
+
+    # Synchronous latency above includes a full host<->device round trip
+    # per call (dominant through the axon tunnel).  The slope method (time
+    # chains of N1/N2 async dispatches each ended by one fetch) cancels the
+    # RTT and measures the artifact's device compute — what a co-located
+    # serving host would see per request at depth>1.
+    def chain(n):
+        t0 = time.perf_counter()
+        outs = [serve(images) for _ in range(n)]
+        _ = np.asarray(outs[-1])
+        return time.perf_counter() - t0
+
+    n1, n2 = max(2, iters // 5), iters
+    t1 = min(chain(n1) for _ in range(3))
+    t2 = min(chain(n2) for _ in range(3))
+    device_ms = (t2 - t1) / (n2 - n1) * 1e3
+    print(json.dumps({
+        "first_call_s": round(first, 2),
+        "median_latency_ms": round(float(np.median(lat)) * 1e3, 2),
+        "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
+        "device_ms_per_call_slope": round(device_ms, 2),
+        "img_per_sec_sync": round(batch / float(np.median(lat)), 1),
+        "img_per_sec_pipelined": round(batch / (device_ms / 1e3), 1),
+    }))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--consumer", nargs=3, default=None,
+                   help=argparse.SUPPRESS)  # (path, batch, img)
+    args = p.parse_args()
+
+    if args.consumer:
+        path, batch, img = args.consumer
+        consumer(path, int(batch), int(img), args.iters)
+        return
+
+    import jax
+    import jax.numpy as jnp
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from cswin_simam_unet_tpu.models import CSWinUNet
+    from cswin_simam_unet_tpu.serving import export_serving, save_serving
+
+    img = args.image_size
+    split = (1, 2, 7, 7) if (img // 16) % 7 == 0 else (1, 2, 8, 8)
+    use_pallas = jax.devices()[0].platform == "tpu"
+    model = CSWinUNet(img_size=img, use_simam=True, split_size=split,
+                      num_classes=1, use_pallas=use_pallas,
+                      dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, img, img, 3)), train=False))(jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    blob = export_serving(model, variables, batch_size=args.batch_size,
+                          image_size=img)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"serving_{img}_{args.batch_size}.stablehlo")
+    save_serving(path, blob)
+    print(f"exported {len(blob) / 1e6:.1f} MB in "
+          f"{time.perf_counter() - t0:.1f}s -> {path}", file=sys.stderr)
+
+    # fresh process so the measurement cannot lean on in-process caches
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--consumer", path,
+         str(args.batch_size), str(img), "--iters", str(args.iters)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.exit(proc.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -153,6 +153,21 @@ def build_argparser() -> argparse.ArgumentParser:
                          ".npz with a warning if torch is unavailable)")
     ex.add_argument("--image-size", type=int, default=None)
 
+    es = sub.add_parser(
+        "export-serving",
+        help="export a frozen StableHLO serving artifact (weights baked "
+             "in; runs anywhere with jax, no model code needed)")
+    es.add_argument("--config", default="unet", choices=sorted(CONFIGS))
+    es.add_argument("--weights", required=True,
+                    help="final-weights .msgpack artifact, checkpoint "
+                         "directory, or reference torch .pth")
+    es.add_argument("--output", required=True, help=".stablehlo output path")
+    es.add_argument("--batch-size", type=int, default=1,
+                    help="serving batch the artifact is specialised to")
+    es.add_argument("--image-size", type=int, default=None)
+    es.add_argument("--bf16", action="store_true")
+    es.add_argument("--pallas", action="store_true")
+
     ls = sub.add_parser("list-configs", help="list available configs")
     return p
 
@@ -546,10 +561,36 @@ def _write_png(path: str, mask_u8: np.ndarray) -> None:
         Image.fromarray(mask_u8).save(path)
 
 
+def run_export_serving(args) -> int:
+    """Freeze the deployment computation (uint8 -> probabilities, weights
+    as constants) into a StableHLO artifact via jax.export.  The reference
+    has no inference entry point at all (ref :537/:992); this plus
+    ``serving.load_serving`` is the deploy story."""
+    from cswin_simam_unet_tpu.serving import export_serving, save_serving
+    from cswin_simam_unet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = get_config(args.config, **_common_overrides(args))
+    size = cfg.image_size
+    model = build_model(cfg.model, size)
+    variables = _load_variables(model, cfg, size, args.weights)
+    blob = export_serving(model, variables, batch_size=args.batch_size,
+                          image_size=size,
+                          in_channels=cfg.model.in_channels)
+    save_serving(args.output, blob)
+    print(f"Exported serving artifact: {args.output} "
+          f"({len(blob) / 1e6:.1f} MB, batch {args.batch_size}, "
+          f"{size}^2, platform "
+          f"{jax.devices()[0].platform})")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if args.command == "predict":
         return run_predict(args)
+    if args.command == "export-serving":
+        return run_export_serving(args)
     if args.command == "evaluate":
         return run_evaluate(args)
     if args.command == "export-torch":

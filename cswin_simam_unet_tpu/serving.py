@@ -1,0 +1,74 @@
+"""Serving export: frozen StableHLO inference artifacts via ``jax.export``.
+
+The reference has NO deployment story: its one artifact is
+``torch.save(model.state_dict())`` (train_unet_segmentation.py:537,
+train_cswinunet_segmentation.py:992) and every consumer must re-import the
+training code to run inference.  Here the serving path is exported as a
+self-contained StableHLO module — weights baked in as constants, the full
+uint8 -> normalise -> forward -> probabilities pipeline inside — that a
+fresh process (or a C++ PJRT runtime) can execute without any model code:
+
+    blob = export_serving(model, variables, batch_size=8, image_size=512)
+    save_serving("model.stablehlo", blob)
+    # ... later, anywhere:
+    serve = load_serving("model.stablehlo")
+    probs = serve(uint8_images_nhwc)        # (B,H,W,C) probabilities
+
+The artifact is platform-checked by jax.export at call time (an artifact
+exported on TPU runs on TPU; pass ``platforms`` to cross-lower).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_serving_fn(model, variables):
+    """The deployment computation: uint8 NHWC batch -> probabilities."""
+
+    def serve(images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        return model.predict(variables, x)
+
+    return serve
+
+
+def export_serving(model, variables, batch_size: int, image_size: int,
+                   in_channels: int = 3,
+                   platforms: tuple[str, ...] | None = None) -> bytes:
+    """Export the serving fn at a fixed batch shape; returns the
+    serialized bytes (weights included as module constants)."""
+    from jax import export as jax_export
+
+    serve = make_serving_fn(model, variables)
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, image_size, image_size, in_channels), jnp.uint8)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(jax.jit(serve), **kwargs)(spec)
+    return exported.serialize()
+
+
+def save_serving(path: str, blob: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_serving(path: str):
+    """Rehydrate an exported artifact; returns ``serve(images_u8)``.
+
+    Needs only jax — no model classes, no weights files, no package
+    imports beyond this function.
+    """
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+
+    def serve(images_u8):
+        return exported.call(np.asarray(images_u8, np.uint8))
+
+    return serve

@@ -181,6 +181,12 @@ def main():
                         "params) — identical deterministic math, much "
                         "cheaper cold compiles; for measuring the "
                         "compile-time/throughput trade")
+    p.add_argument("--segmented", action="store_true",
+                   help="chain per-stage jitted programs with vjp "
+                        "recompute (train/segmented.py) instead of one "
+                        "monolithic jit — bounds compile memory/time for "
+                        "very large images (2048^2); single chip, train "
+                        "mode, no augment/grad-accum")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient-accumulation micro-batches per optimizer "
                         "step (train mode): measures the accumulation "
@@ -264,8 +270,17 @@ def main():
         if args.augment:
             from cswin_simam_unet_tpu.data.augment import AugmentConfig
             augment = AugmentConfig()
-        step = make_train_step(model, n_classes=1, augment=augment,
-                               donate=True, grad_accum=args.grad_accum)
+        if args.segmented:
+            assert args.model == "cswin" and not args.augment \
+                and args.grad_accum == 1 and n_chips == 1, \
+                "--segmented: cswin, single chip, no augment/grad-accum"
+            from cswin_simam_unet_tpu.train.segmented import (
+                make_segmented_train_step,
+            )
+            step = make_segmented_train_step(model, n_classes=1)
+        else:
+            step = make_train_step(model, n_classes=1, augment=augment,
+                                   donate=True, grad_accum=args.grad_accum)
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (batch, img, img, 3), dtype=np.uint8)
     masks = (rs.randint(0, 2, (batch, img, img, 1), dtype=np.uint8) * 255)
@@ -342,12 +357,14 @@ def main():
     try:
         if args.mode == "infer":
             cost = predict.lower(variables, images).compile().cost_analysis()
+        elif args.segmented:
+            cost = None  # chained programs: no single cost analysis
         else:
             cost = step.lower(state, images, masks,
                               rng).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0))
+        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
         kind = devices[0].device_kind.lower()
         peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
                  "v5p": 459e12, "v6": 918e12}

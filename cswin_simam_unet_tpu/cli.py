@@ -86,6 +86,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cheaper cold XLA compiles — use for very large "
                         "images where the unrolled graph strains the "
                         "compiler")
+    t.add_argument("--segmented", action="store_true",
+                   help="per-stage jitted programs with vjp recompute "
+                        "(bounded compile memory for 2048^2-class images; "
+                        "excludes augment/grad-accum/data-parallel)")
     t.add_argument("--no-progress", action="store_true",
                    help="disable the live in-epoch progress line "
                         "(reference tqdm-postfix equivalent; default on)")
@@ -299,6 +303,7 @@ def run_train(args) -> int:
         checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
         grad_accum=(args.grad_accum if args.grad_accum is not None
                     else cfg.grad_accum),
+        segmented=args.segmented or cfg.segmented,
         progress=not args.no_progress, log_every=args.log_every,
         tensorboard_dir=args.tensorboard_dir)
 

@@ -71,6 +71,10 @@ class TrainRunConfig:
     # gradient-accumulation micro-batches per optimizer step (1 = off);
     # exact full-batch loss/metric semantics — see train.engine
     grad_accum: int = 1
+    # per-stage jitted programs with vjp recompute (train/segmented.py):
+    # bounded compile memory/time for 2048^2-class images; excludes
+    # augment/grad_accum/data-parallel
+    segmented: bool = False
     # parallelism
     data_parallel: bool = True  # shard batch over all local devices
     checkpoint_dir: Optional[str] = None
@@ -150,6 +154,18 @@ CONFIGS = {
                            use_pallas=True),
         image_size=1024, batch_size=2, grad_accum=2, optimizer="adamw",
         learning_rate=1e-4, output_prefix="cswin_simam_1024"),
+    # 2048^2 long-context config: the monolithic graph exhausts the XLA
+    # compile service (BASELINE.md), so this trains via the segmented
+    # per-stage step; XLA kernels (one Pallas stage-2 kernel compile is
+    # environment-pathological at this geometry), no augment/grad-accum.
+    "cswin_simam_2048": TrainRunConfig(
+        name="cswin_simam_2048",
+        model=_cswin_model(use_simam=True, split_size=(1, 2, 8, 8),
+                           scan_stages=True, dtype="bfloat16",
+                           use_pallas=False),
+        image_size=2048, batch_size=1, optimizer="adamw", augment=None,
+        segmented=True, data_parallel=False, learning_rate=1e-4,
+        output_prefix="cswin_simam_2048"),
 }
 
 

@@ -373,6 +373,11 @@ class FitConfig:
     plateau_patience: int = 5
     plateau_min_lr: float = 1e-7
     grad_accum: int = 1  # micro-batches per optimizer step (1 = off)
+    # Chain per-stage jitted programs (train/segmented.py) instead of one
+    # monolithic jit: bounded compile memory/time for very large images
+    # (2048^2).  CSWin models only; mutually exclusive with augment /
+    # grad_accum / multi-device mesh.
+    segmented: bool = False
     seed: int = 42
     log_every: int = 0  # batches; 0 = epoch-level only
     # Live in-epoch progress line (reference tqdm postfix Loss/Dice/IoU,
@@ -414,9 +419,21 @@ def fit(model, state: TrainState, train_loader, test_loader,
     """
     from cswin_simam_unet_tpu.data.pipeline import device_prefetch
 
-    train_step = make_train_step(model, cfg.n_classes, cfg.augment,
-                                 grad_accum=cfg.grad_accum)
-    eval_step = make_eval_step(model, cfg.n_classes)
+    if cfg.segmented:
+        if cfg.augment is not None or cfg.grad_accum != 1 or mesh is not None:
+            raise ValueError("segmented training is single-device and "
+                             "excludes augment/grad_accum (2048^2-class "
+                             "configs train without them)")
+        from cswin_simam_unet_tpu.train.segmented import (
+            make_segmented_train_step,
+        )
+        train_step = make_segmented_train_step(model, cfg.n_classes)
+        # the monolithic eval graph is compile-bounded at 2048^2 too
+        eval_step = train_step.eval_step
+    else:
+        train_step = make_train_step(model, cfg.n_classes, cfg.augment,
+                                     grad_accum=cfg.grad_accum)
+        eval_step = make_eval_step(model, cfg.n_classes)
     if scheduler is None:
         scheduler = ReduceLROnPlateau(
             lr=get_learning_rate(state), factor=cfg.plateau_factor,

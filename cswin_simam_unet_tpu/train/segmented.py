@@ -343,6 +343,33 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     update_jit = jax.jit(lambda state, grads:
                          state.apply_gradients(grads=grads))
 
+    def eval_step(state, images_u8, masks_u8):
+        """Forward-only chain (deterministic), same metric semantics as
+        ``make_eval_step`` — the monolithic eval graph is compile-bounded
+        at 2048^2 exactly like the train graph."""
+        assert state.batch_stats is None
+        images, targets = prep_jit(images_u8, masks_u8)
+        part = segment_param_keys(state.params, segments)
+        key = jax.random.PRNGKey(0)  # unused: deterministic forward
+        carry = {"x": images}
+        for i, (name, run) in enumerate(segments):
+            params_i = {k: state.params[k] for k in part[i]}
+            carry = _eval_seg[i](params_i, carry, key)
+        return loss_metrics_jit(carry["tokens"], targets)
+
+    _eval_seg = []
+    for name, run in segments:
+        def efwd(params, carry, key, _run=run):
+            return _run({"params": params}, carry, False, {"dropout": key})
+        _eval_seg.append(jax.jit(efwd))
+
+    def loss_metrics(logits, targets):
+        loss = segmentation_loss(logits, targets, n_classes)
+        dice, iou = _batch_metrics(logits, targets, n_classes)
+        return {"loss": loss, "dice": dice, "iou": iou}
+
+    loss_metrics_jit = jax.jit(loss_metrics)
+
     def step(state, images_u8, masks_u8, rng):
         assert state.batch_stats is None, \
             "segmented step supports LayerNorm models (CSWin) only"
@@ -372,4 +399,5 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         state = update_jit(state, grads)
         return state, {"loss": loss, "dice": dice, "iou": iou}
 
+    step.eval_step = eval_step
     return step

@@ -110,6 +110,20 @@ def test_segmented_step_matches_monolithic_step():
     assert worst < 5e-6, f"updated params deviate by {worst}"
 
 
+def test_segmented_eval_matches_monolithic_eval():
+    from cswin_simam_unet_tpu.train.engine import make_eval_step
+    model = _model()
+    state = _state(model)
+    images_u8, masks_u8 = _data()
+    want = make_eval_step(model, n_classes=1)(
+        state, jnp.asarray(images_u8), jnp.asarray(masks_u8))
+    seg = make_segmented_train_step(model, n_classes=1)
+    got = seg.eval_step(state, jnp.asarray(images_u8),
+                        jnp.asarray(masks_u8))
+    for k in ("loss", "dice", "iou"):
+        assert float(got[k]) == pytest.approx(float(want[k]), abs=1e-5), k
+
+
 def test_segmented_step_trains_with_dropout():
     # stochastic path smoke: finite loss, params move
     model = _model(drop_rate=0.2, attn_drop_rate=0.2, drop_path_rate=0.2)

@@ -156,13 +156,15 @@ CONFIGS = {
         learning_rate=1e-4, output_prefix="cswin_simam_1024"),
     # 2048^2 long-context config: the monolithic graph exhausts the XLA
     # compile service (BASELINE.md), so this trains via the segmented
-    # per-stage step; XLA kernels (one Pallas stage-2 kernel compile is
-    # environment-pathological at this geometry), no augment/grad-accum.
+    # per-stage step.  Pallas stripe kernels everywhere except the
+    # stage-4 global window (4096 tokens), which the LePEAttention
+    # window-size guard routes to the XLA oracle (the Mosaic compile is
+    # pathological there) — measured 3.47 img/s vs 1.11 all-XLA.
     "cswin_simam_2048": TrainRunConfig(
         name="cswin_simam_2048",
         model=_cswin_model(use_simam=True, split_size=(1, 2, 8, 8),
                            scan_stages=True, dtype="bfloat16",
-                           use_pallas=False),
+                           use_pallas=True),
         image_size=2048, batch_size=1, optimizer="adamw", augment=None,
         segmented=True, data_parallel=False, learning_rate=1e-4,
         output_prefix="cswin_simam_2048"),

@@ -168,7 +168,14 @@ class LePEAttention(nn.Module):
         # in-step A/B at the 512^2 flagship: stage-1-on-XLA 147.1 vs
         # stage-1-on-Pallas 152.3 img/s (benchmarks/micro_attn_device.py,
         # bench.py, 2026-08-18).
-        if self.use_pallas:
+        # Window-size guard: the Mosaic compile of the fused kernel is
+        # pathological for huge single windows (2048^2 stage-4 global
+        # attention = 4096-token windows: >25 min in the remote compile
+        # service; 1024-token windows at 1024^2 compile and run fine).
+        # Those geometries fall back to the XLA oracle — identical math,
+        # and the global-window stage is a tiny share of the step there.
+        use_pallas = self.use_pallas and hsp * wsp <= 2048
+        if use_pallas:
             from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
                 stripe_attention_pallas_v2 as stripe_attention_pallas,
             )

@@ -316,6 +316,15 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
             gp, gc = vjp_fn(g_out)
             return gp, gc
 
+        # Per-segment function names: the compile-cache key (and the remote
+        # compile service's job-dedup hash) includes the jitted symbol name.
+        # A generic shared name made every segment's program hash collide
+        # with any earlier wedged/killed remote compile job for that
+        # segment, which then hung all retries (observed 22 min on one
+        # segment across three runs while the identical computation under a
+        # fresh name compiled in 6 s).
+        fwd.__name__ = f"seg_{name}_fwd"
+        bwd.__name__ = f"seg_{name}_bwd"
         # fwd must NOT donate: the backward pass re-consumes each segment's
         # input carry.  bwd's carry + cotangent are each used exactly once.
         seg_fwd.append(jax.jit(fwd))
@@ -361,6 +370,7 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     for name, run in segments:
         def efwd(params, carry, key, _run=run):
             return _run({"params": params}, carry, False, {"dropout": key})
+        efwd.__name__ = f"seg_{name}_eval"  # see the naming note above
         _eval_seg.append(jax.jit(efwd))
 
     def loss_metrics(logits, targets):

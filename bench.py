@@ -126,26 +126,36 @@ def orchestrate():
 
     can_fallback = ("--scan-stages" not in user_args
                     and "--model" not in " ".join(user_args))
-    # Measured timings through the axon tunnel (BASELINE.md round 3):
-    # warm unrolled run 75-250 s end-to-end (cache hit + executable load +
-    # a first-execute stall of up to ~4 min observed), warm scan run
-    # ~200 s, COLD scan ~300-400 s (113 s compile + load/stall).  The
-    # fast path only runs when the committed cache is warm, so the
-    # fallback reserve covers a warm scan run.
-    fallback_reserve = 250.0 if can_fallback else 0.0
 
+    # Strategy (timings measured through the axon tunnel, BASELINE.md
+    # round 3): the scan-stages run is the RELIABLE one (46 MB executable;
+    # warm ~105-185 s end-to-end, cold ~300-400 s), while the unrolled
+    # fast path's 102 MB executable load sporadically stalls for minutes.
+    # So BANK a scan-stages number first, then spend the remaining budget
+    # trying to upgrade to the unrolled measurement (~40% faster steady
+    # state when its load cooperates); print the best result that landed.
     result = None
-    remaining = budget - (time.monotonic() - t0)
-    if cache_warm or not can_fallback:
-        result = _run_inner(user_args, remaining - fallback_reserve)
-    else:
-        print("bench: cold cache -> skipping unrolled fast path",
-              file=sys.stderr)
-
-    if result is None and can_fallback:
+    if can_fallback:
         remaining = budget - (time.monotonic() - t0)
-        print("bench: falling back to --scan-stages", file=sys.stderr)
-        result = _run_inner(user_args + ["--scan-stages"], remaining - 5)
+        upgrade_reserve = 220.0 if cache_warm else 0.0
+        result = _run_inner(user_args + ["--scan-stages"],
+                            remaining - upgrade_reserve)
+        if result is None and upgrade_reserve:
+            # scan stalled: one more scan try with what's left of the
+            # budget before giving the unrolled path the scraps
+            remaining = budget - (time.monotonic() - t0)
+            result = _run_inner(user_args + ["--scan-stages"],
+                                remaining - 10)
+
+    if cache_warm or not can_fallback:
+        remaining = budget - (time.monotonic() - t0)
+        if remaining > (60 if result is None else 150):
+            upgraded = _run_inner(user_args, remaining - 10)
+            if upgraded is not None:
+                result = upgraded
+    else:
+        print("bench: cold cache -> skipping the unrolled upgrade run",
+              file=sys.stderr)
 
     if result is None:
         # Degraded terminal path: still emit the one parseable JSON line.

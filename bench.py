@@ -158,9 +158,17 @@ def orchestrate():
               file=sys.stderr)
 
     if result is None:
-        # Degraded terminal path: still emit the one parseable JSON line.
-        result = {"metric": "CSWin-SimAM-UNet 512^2 fwd+bwd+step "
-                            "images/sec/chip",
+        # Degraded terminal path: still emit the one parseable JSON line,
+        # labelled for the configuration that was actually requested.
+        def _flag(name, default):
+            return (user_args[user_args.index(name) + 1]
+                    if name in user_args else default)
+        label = ("UNet-SimAM" if _flag("--model", "cswin") == "unet"
+                 else "CSWin-SimAM-UNet")
+        what = ("infer" if _flag("--mode", "train") == "infer"
+                else "fwd+bwd+step")
+        img = _flag("--image-size", "512")
+        result = {"metric": f"{label} {img}^2 {what} images/sec/chip",
                   "value": 0.0, "unit": "images/sec/chip",
                   "vs_baseline": 0.0,
                   "error": "no measurement completed within budget "
@@ -413,6 +421,18 @@ def main():
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    # Same metric name regardless of execution variant (the driver keys on
+    # it), but a degraded/banked fallback must be distinguishable from the
+    # unrolled headline in the recorded JSON.
+    if args.scan_stages or args.segmented or args.grad_accum > 1:
+        variant = []
+        if args.scan_stages:
+            variant.append("scan-stages")
+        if args.segmented:
+            variant.append("segmented")
+        if args.grad_accum > 1:
+            variant.append(f"grad-accum-{args.grad_accum}")
+        out["variant"] = "+".join(variant)
     print(json.dumps(out))
 
 

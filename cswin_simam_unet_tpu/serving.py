@@ -69,6 +69,13 @@ def load_serving(path: str):
         exported = jax_export.deserialize(f.read())
 
     def serve(images_u8):
-        return exported.call(np.asarray(images_u8, np.uint8))
+        if isinstance(images_u8, jax.Array):
+            # keep device-resident inputs on device, but match the uint8
+            # input spec (numpy inputs below get the same silent cast)
+            if images_u8.dtype != jnp.uint8:
+                images_u8 = images_u8.astype(jnp.uint8)
+        else:
+            images_u8 = np.asarray(images_u8, np.uint8)
+        return exported.call(images_u8)
 
     return serve

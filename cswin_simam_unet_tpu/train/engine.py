@@ -424,6 +424,12 @@ def fit(model, state: TrainState, train_loader, test_loader,
             raise ValueError("segmented training is single-device and "
                              "excludes augment/grad_accum (2048^2-class "
                              "configs train without them)")
+        from cswin_simam_unet_tpu.models import CSWinUNet
+        if not isinstance(model, CSWinUNet):
+            raise ValueError("--segmented supports the CSWin family only "
+                             f"(got {type(model).__name__}); UNet's "
+                             "monolithic graph compiles fine at any size "
+                             "it fits in memory")
         from cswin_simam_unet_tpu.train.segmented import (
             make_segmented_train_step,
         )

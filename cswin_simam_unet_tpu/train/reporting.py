@@ -40,12 +40,11 @@ class EpochProgress:
         self.refresh_s = refresh_s if self.isatty else plain_interval_s
         self._t0 = time.time()
         self._last = 0.0
-        self._dirty = False
+        self._rendered = False
 
     def update(self, batch_idx: int, n_images: int, metrics) -> None:
         """metrics: dict of (device or host) scalars for a completed batch."""
         now = time.time()
-        self._dirty = True
         if now - self._last < self.refresh_s:
             return
         self._last = now
@@ -58,13 +57,14 @@ class EpochProgress:
                 f"({ips:.1f} img/s)")
         if self.isatty:
             self.stream.write("\r  " + line + "\x1b[K")
+            self._rendered = True
         else:
             self.stream.write("  " + line + "\n")
         self.stream.flush()
-        self._dirty = False
 
     def close(self) -> None:
-        if self.isatty and self._dirty is not None:
+        # clear the live line only if one was actually drawn
+        if self.isatty and self._rendered:
             self.stream.write("\r\x1b[K")
             self.stream.flush()
 

@@ -285,7 +285,8 @@ def segment_param_keys(params: Dict, segments) -> List[List[str]]:
 
 
 def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
-                              donate_carries: bool = True) -> Callable:
+                              donate_carries: bool = True,
+                              donate_state: bool = True) -> Callable:
     """(state, images_u8, masks_u8, rng) -> (state, metrics), as a chain of
     per-segment jitted programs (see module docstring).
 
@@ -308,8 +309,10 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     seg_fwd = []
     seg_bwd = []
     for name, run in segments:
+        # deterministic=False: this is the TRAINING pass — dropout and
+        # drop-path active, like the monolithic step's train=True
         def fwd(params, carry, key, _run=run):
-            return _run({"params": params}, carry, True, {"dropout": key})
+            return _run({"params": params}, carry, False, {"dropout": key})
 
         def bwd(params, carry, key, g_out, _f=fwd):
             _, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key), params, carry)
@@ -349,8 +352,14 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         return images, targets
 
     prep_jit = jax.jit(prep)
+    # donate the old train state (default): without it the optimizer
+    # update holds old AND new params+moments simultaneously — exactly the
+    # HBM headroom this executor exists to preserve at 2048^2.  Callers
+    # that re-use a state object across calls (tests) pass
+    # donate_state=False, like the monolithic step's donate flag.
     update_jit = jax.jit(lambda state, grads:
-                         state.apply_gradients(grads=grads))
+                         state.apply_gradients(grads=grads),
+                         donate_argnums=(0,) if donate_state else ())
 
     def eval_step(state, images_u8, masks_u8):
         """Forward-only chain (deterministic), same metric semantics as
@@ -368,8 +377,9 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
 
     _eval_seg = []
     for name, run in segments:
+        # deterministic=True: eval disables every stochastic layer
         def efwd(params, carry, key, _run=run):
-            return _run({"params": params}, carry, False, {"dropout": key})
+            return _run({"params": params}, carry, True, {"dropout": key})
         efwd.__name__ = f"seg_{name}_eval"  # see the naming note above
         _eval_seg.append(jax.jit(efwd))
 

@@ -125,16 +125,34 @@ def test_segmented_eval_matches_monolithic_eval():
 
 
 def test_segmented_step_trains_with_dropout():
-    # stochastic path smoke: finite loss, params move
+    # Stochastic layers must be ACTIVE in the segmented TRAIN pass (the
+    # monolithic step's train=True semantics) and INERT in its eval chain
+    # — this pins the deterministic-flag orientation, which a review
+    # caught inverted once (train ran dropout-free, eval with dropout).
+    from cswin_simam_unet_tpu.train.engine import make_eval_step
     model = _model(drop_rate=0.2, attn_drop_rate=0.2, drop_path_rate=0.2)
     images_u8, masks_u8 = _data()
     state = _state(model)
-    seg = make_segmented_train_step(model, n_classes=1)
+    seg = make_segmented_train_step(model, n_classes=1,
+                                    donate_state=False)
+
     before = float(jax.tree_util.tree_reduce(
         lambda a, x: a + jnp.abs(x).sum(), state.params, 0.0))
-    new_state, metrics = seg(state, jnp.asarray(images_u8),
-                             jnp.asarray(masks_u8), jax.random.PRNGKey(3))
-    assert np.isfinite(float(metrics["loss"]))
+    _, m1 = seg(state, jnp.asarray(images_u8), jnp.asarray(masks_u8),
+                jax.random.PRNGKey(3))
+    new_state, m2 = seg(state, jnp.asarray(images_u8),
+                        jnp.asarray(masks_u8), jax.random.PRNGKey(4))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # different dropout streams -> different losses (dropout is ON)
+    assert float(m1["loss"]) != float(m2["loss"])
     after = float(jax.tree_util.tree_reduce(
         lambda a, x: a + jnp.abs(x).sum(), new_state.params, 0.0))
     assert after != before
+
+    # eval: stochastic layers inert -> equals the monolithic eval exactly
+    want = make_eval_step(model, n_classes=1)(
+        state, jnp.asarray(images_u8), jnp.asarray(masks_u8))
+    got = seg.eval_step(state, jnp.asarray(images_u8),
+                        jnp.asarray(masks_u8))
+    for k in ("loss", "dice", "iou"):
+        assert float(got[k]) == pytest.approx(float(want[k]), abs=1e-5), k

@@ -43,25 +43,35 @@ def main():
     files = sorted(f for f in os.listdir(STAGE) if f.endswith("-cache"))
     if not files:
         raise SystemExit("no cache entries produced")
-    os.makedirs(DEST, exist_ok=True)
-    for old in os.listdir(DEST):
-        os.remove(os.path.join(DEST, old))
+    # sanity BEFORE touching the committed directory: both configs'
+    # step+init must be present (a run served from an unrelated warm cache
+    # would leave gaps), so a failure never destroys the last good cache
+    steps = [f for f in files if f.startswith("jit_step-")]
+    inits = [f for f in files if f.startswith("jit_init_fn-")]
+    assert len(steps) >= 2 and len(inits) >= 2, (steps, inits)
+
+    import jax
+    # build the replacement next to DEST, then swap atomically
+    new_dest = DEST + ".new"
+    shutil.rmtree(new_dest, ignore_errors=True)
+    os.makedirs(new_dest)
     total = 0
     for f in files:
         src = os.path.join(STAGE, f)
         total += os.path.getsize(src)
-        shutil.copy2(src, os.path.join(DEST, f))
-    import jax
-    with open(os.path.join(DEST, "MANIFEST.json"), "w") as fh:
+        shutil.copy2(src, os.path.join(new_dest, f))
+    with open(os.path.join(new_dest, "MANIFEST.json"), "w") as fh:
         json.dump({"jax": jax.__version__,
                    "device_gen": os.environ.get("PALLAS_AXON_TPU_GEN", ""),
                    "files": files}, fh, indent=1)
+    old_dest = DEST + ".old"
+    shutil.rmtree(old_dest, ignore_errors=True)
+    if os.path.isdir(DEST):
+        os.rename(DEST, old_dest)
+    os.rename(new_dest, DEST)
+    shutil.rmtree(old_dest, ignore_errors=True)
     print(f"refresh_bench_cache: {len(files)} entries, "
           f"{total / 1e6:.0f} MB -> {DEST}")
-    # sanity: the committed entries must cover both configs' step+init
-    steps = [f for f in files if f.startswith("jit_step-")]
-    inits = [f for f in files if f.startswith("jit_init_fn-")]
-    assert len(steps) >= 2 and len(inits) >= 2, (steps, inits)
 
 
 if __name__ == "__main__":

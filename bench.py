@@ -161,8 +161,13 @@ def orchestrate():
         # Degraded terminal path: still emit the one parseable JSON line,
         # labelled for the configuration that was actually requested.
         def _flag(name, default):
-            return (user_args[user_args.index(name) + 1]
-                    if name in user_args else default)
+            # both "--flag value" and "--flag=value" forms
+            for i, a in enumerate(user_args):
+                if a == name and i + 1 < len(user_args):
+                    return user_args[i + 1]
+                if a.startswith(name + "="):
+                    return a.split("=", 1)[1]
+            return default
         label = ("UNet-SimAM" if _flag("--model", "cswin") == "unet"
                  else "CSWin-SimAM-UNet")
         what = ("infer" if _flag("--mode", "train") == "infer"

@@ -86,10 +86,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cheaper cold XLA compiles — use for very large "
                         "images where the unrolled graph strains the "
                         "compiler")
-    t.add_argument("--segmented", action="store_true",
+    t.add_argument("--segmented", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="per-stage jitted programs with vjp recompute "
                         "(bounded compile memory for 2048^2-class images; "
-                        "excludes augment/grad-accum/data-parallel)")
+                        "excludes augment/grad-accum). Default follows the "
+                        "config; --no-segmented forces the monolithic step "
+                        "even for segmented-by-default configs")
     t.add_argument("--no-progress", action="store_true",
                    help="disable the live in-epoch progress line "
                         "(reference tqdm-postfix equivalent; default on)")
@@ -303,7 +306,8 @@ def run_train(args) -> int:
         checkpoint_manager=store, checkpoint_every=args.checkpoint_every,
         grad_accum=(args.grad_accum if args.grad_accum is not None
                     else cfg.grad_accum),
-        segmented=args.segmented or cfg.segmented,
+        segmented=(cfg.segmented if args.segmented is None
+                   else args.segmented),
         progress=not args.no_progress, log_every=args.log_every,
         tensorboard_dir=args.tensorboard_dir)
 

@@ -168,32 +168,38 @@ class LePEAttention(nn.Module):
         # in-step A/B at the 512^2 flagship: stage-1-on-XLA 147.1 vs
         # stage-1-on-Pallas 152.3 img/s (benchmarks/micro_attn_device.py,
         # bench.py, 2026-08-18).
-        # Window-size guard: the Mosaic compile of the fused kernel is
-        # pathological for huge single windows (2048^2 stage-4 global
-        # attention = 4096-token windows: >25 min in the remote compile
-        # service; 1024-token windows at 1024^2 compile and run fine).
-        # Those geometries fall back to the XLA oracle — identical math,
-        # and the global-window stage is a tiny share of the step there.
-        use_pallas = self.use_pallas and hsp * wsp <= 2048
-        if use_pallas:
-            from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
-                stripe_attention_pallas_v2 as stripe_attention_pallas,
-            )
-            out = stripe_attention_pallas(
-                q, k, v, kernel.astype(self.dtype),
-                H=self.resolution, W=self.resolution, hsp=hsp, wsp=wsp,
-                num_heads=self.num_heads, scale=self.qk_scale,
-                attn_drop=self.attn_drop, deterministic=deterministic,
-                dropout_rng=rng,
-            )
-        else:
-            out = stripe_attention(
-                q, k, v, kernel.astype(self.dtype),
-                H=self.resolution, W=self.resolution, hsp=hsp, wsp=wsp,
-                num_heads=self.num_heads, scale=self.qk_scale,
-                attn_drop=self.attn_drop, deterministic=deterministic,
-                dropout_rng=rng,
-            )
+        # Kernel dispatch by window size: windows <= 2048 tokens run the v2
+        # whole-window kernel (its (TW, N, N) score block stays small and
+        # beats tiling there); larger windows run the flash kernel
+        # (ops/pallas_attention_flash.py) whose VMEM and Mosaic compile
+        # scale with the 512^2 tile, not N^2 — the round-3 guard that
+        # routed >2048-token windows to the XLA oracle (2048^2 stage-4
+        # global attention, Mosaic compile >25 min) is replaced by a real
+        # kernel.  The XLA oracle remains the fallback only when even the
+        # flash working set cannot fit VMEM.
+        attn_kw = dict(
+            H=self.resolution, W=self.resolution, hsp=hsp, wsp=wsp,
+            num_heads=self.num_heads, scale=self.qk_scale,
+            attn_drop=self.attn_drop, deterministic=deterministic,
+            dropout_rng=rng,
+        )
+        impl = stripe_attention
+        if self.use_pallas:
+            if hsp * wsp <= 2048:
+                from cswin_simam_unet_tpu.ops.pallas_attention_v2 import (
+                    stripe_attention_pallas_v2,
+                )
+                impl = stripe_attention_pallas_v2
+            else:
+                from cswin_simam_unet_tpu.ops.pallas_attention_flash import (
+                    flash_vmem_bytes,
+                    stripe_attention_pallas_flash,
+                )
+                itemsize = jnp.dtype(self.dtype).itemsize
+                if flash_vmem_bytes(hsp * wsp, self.dim,
+                                    itemsize) <= 110 * 1024 * 1024:
+                    impl = stripe_attention_pallas_flash
+        out = impl(q, k, v, kernel.astype(self.dtype), **attn_kw)
         # get_v bias: constant per channel, conv(v)+b — add after the window
         # attention output since lepe enters additively.
         return out + bias.astype(out.dtype)

@@ -69,13 +69,42 @@ def load_serving(path: str):
         exported = jax_export.deserialize(f.read())
 
     def serve(images_u8):
-        if isinstance(images_u8, jax.Array):
-            # keep device-resident inputs on device, but match the uint8
-            # input spec (numpy inputs below get the same silent cast)
-            if images_u8.dtype != jnp.uint8:
-                images_u8 = images_u8.astype(jnp.uint8)
-        else:
-            images_u8 = np.asarray(images_u8, np.uint8)
+        images_u8 = _coerce_uint8(images_u8)
         return exported.call(images_u8)
 
     return serve
+
+
+def _coerce_uint8(images):
+    """Match the artifact's uint8 input spec without silently destroying
+    float inputs: the in-process ``model.predict`` accepts normalised floats
+    in [0, 1], so a caller handing those here would previously get an
+    all-0/1 cast and garbage probabilities.  Floats in [0, 1] are rescaled
+    to the 0-255 range the artifact expects; other float ranges must be
+    integer-valued (0-255 pixel values stored as float) or are rejected."""
+    if isinstance(images, jax.Array):
+        if images.dtype == jnp.uint8:
+            return images
+        if jnp.issubdtype(images.dtype, jnp.floating):
+            mx = float(jnp.max(images))  # device sync — error path only
+            if mx <= 1.0:
+                return jnp.round(images * 255.0).astype(jnp.uint8)
+            if mx <= 255.0 and bool(jnp.all(images == jnp.round(images))):
+                return images.astype(jnp.uint8)
+            raise ValueError(
+                "load_serving: float input is neither normalised [0,1] nor "
+                f"integer-valued 0-255 pixels (max={mx:g}); pass uint8")
+        return images.astype(jnp.uint8)
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return arr
+    if np.issubdtype(arr.dtype, np.floating):
+        mx = float(arr.max()) if arr.size else 0.0
+        if mx <= 1.0:
+            return np.round(arr * 255.0).astype(np.uint8)
+        if mx <= 255.0 and np.array_equal(arr, np.round(arr)):
+            return arr.astype(np.uint8)
+        raise ValueError(
+            "load_serving: float input is neither normalised [0,1] nor "
+            f"integer-valued 0-255 pixels (max={mx:g}); pass uint8")
+    return arr.astype(np.uint8)

@@ -480,11 +480,12 @@ def fit(model, state: TrainState, train_loader, test_loader,
             per_batch.append(m)  # device scalars; fetched once per epoch
             n_images += images.shape[0]
             global_step += 1
-            if progress is not None:
+            if progress is not None and len(per_batch) > 1:
                 # previous batch's scalars: complete, so the fetch is free
-                progress.update(len(per_batch), n_images,
-                                per_batch[-2] if len(per_batch) > 1
-                                else per_batch[-1])
+                # (rendering batch 1 would block on the just-enqueued step,
+                # i.e. the epoch-1 compile); label with the completed index.
+                progress.update(len(per_batch) - 1,
+                                n_images - images.shape[0], per_batch[-2])
             if cfg.verbose and cfg.log_every and \
                     len(per_batch) % cfg.log_every == 0:
                 nb = len(per_batch)

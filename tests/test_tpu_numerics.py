@@ -209,3 +209,40 @@ def test_simam_head_on_tpu(dtype, gate, F):
     assert _rel_err(o1, o2) < tol
     for a, c in zip(g1, g2):
         assert _rel_err(a, c) < tol
+
+
+# Flash-attention hardware lowering: the tiled online-softmax sweep with
+# its fori_loop dynamic slices and lane-column L stores is exactly the
+# kind of code where Mosaic and interpret mode can diverge.  Windows
+# chosen to exercise multi-tile sweeps (N=2048: 4 KV tiles) and the
+# dispatch boundary geometry.
+FLASH_GEOMS = [(64, 64, 32, 64), (64, 64, 64, 64)]  # band N=2048, global 4096
+
+
+@pytest.mark.parametrize("H,W,hsp,wsp", FLASH_GEOMS)
+def test_flash_attention_on_tpu(H, W, hsp, wsp):
+    from cswin_simam_unet_tpu.ops.pallas_attention_flash import (
+        stripe_attention_pallas_flash,
+    )
+    B, C, heads = 1, 32, 2
+    q, k, v = (_rand((B, H * W, C), s, 0.5) for s in (0, 1, 2))
+    kernel = _rand((3, 3, 1, C), 3, 0.2)
+    kw = dict(H=H, W=W, hsp=hsp, wsp=wsp, num_heads=heads)
+
+    def f_pl(q, k, v, kernel):
+        return jnp.sum(
+            jnp.sin(stripe_attention_pallas_flash(q, k, v, kernel, **kw)))
+
+    def f_xla(q, k, v, kernel):
+        return jnp.sum(jnp.sin(stripe_attention(q, k, v, kernel, **kw)))
+
+    out_pl = stripe_attention_pallas_flash(q, k, v, kernel, **kw)
+    out_xla = stripe_attention(q, k, v, kernel, **kw)
+    assert _rel_err(out_pl, out_xla) < 1e-4
+
+    g_pl = jax.jit(jax.grad(f_pl, argnums=(0, 1, 2, 3)))(q, k, v, kernel)
+    with jax.default_matmul_precision("highest"):
+        g_hi = jax.jit(jax.grad(f_xla, argnums=(0, 1, 2, 3)))(
+            q, k, v, kernel)
+    for a, b, name in zip(g_pl, g_hi, ("dq", "dk", "dv", "dlepe")):
+        assert _rel_err(a, b) < 1e-2, f"{name} mismatch on TPU"

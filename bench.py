@@ -295,12 +295,15 @@ def main():
             augment = AugmentConfig()
         if args.segmented:
             assert args.model == "cswin" and not args.augment \
-                and args.grad_accum == 1 and n_chips == 1, \
-                "--segmented: cswin, single chip, no augment/grad-accum"
+                and args.grad_accum == 1, \
+                "--segmented: cswin, no augment/grad-accum"
             from cswin_simam_unet_tpu.train.segmented import (
                 make_segmented_train_step,
             )
-            step = make_segmented_train_step(model, n_classes=1)
+            seg_mesh = make_mesh((n_chips,), ("data",)) if n_chips > 1 \
+                else None
+            step = make_segmented_train_step(model, n_classes=1,
+                                             mesh=seg_mesh)
         else:
             step = make_train_step(model, n_classes=1, augment=augment,
                                    donate=True, grad_accum=args.grad_accum)
@@ -377,11 +380,27 @@ def main():
     # aggregate peak.  bf16 peak per chip (dense): v5e 197 TF, v4 275 TF,
     # v5p 459 TF, v6e 918 TF.
     mfu = None
+    flops_executed = None
     try:
+        scan_undercount = args.model == "cswin" and args.scan_stages
         if args.mode == "infer":
             cost = predict.lower(variables, images).compile().cost_analysis()
-        elif args.segmented:
-            cost = None  # chained programs: no single cost analysis
+        elif args.segmented and not scan_undercount:
+            # sum of the chain's compiled per-program cost analyses:
+            # 'useful' = fwd+bwd+opt once (each seg_bwd vjp program holds
+            # its fwd AND bwd) — the standard MFU numerator; 'executed'
+            # adds the forward chain the backward recomputes
+            seg_cost = step.cost_flops(state, images, masks, rng)
+            cost = {"flops": seg_cost["useful"]}
+            flops_executed = seg_cost["executed"]
+        elif scan_undercount:
+            # XLA cost analysis counts a lax.scan body ONCE regardless of
+            # trip count, so scan-stages MFU would be a wrong (low) number
+            # (the round-2 "3.6%" artifact); suppress rather than mislead.
+            print("MFU suppressed: scan-stages cost analysis undercounts "
+                  "scan bodies (compare step times instead)",
+                  file=sys.stderr)
+            cost = None
         else:
             cost = step.lower(state, images, masks,
                               rng).compile().cost_analysis()
@@ -398,6 +417,12 @@ def main():
                   f"GFLOP/img -> MFU {mfu * 100:.1f}% "
                   f"({devices[0].device_kind} peak {peak / 1e12:.0f} TF/chip)",
                   file=sys.stderr)
+            if flops_executed:
+                hfu = flops_executed / per_step / (peak * n_chips)
+                print(f"segmented chain executes "
+                      f"{flops_executed / batch / 1e9:.1f} GFLOP/img "
+                      f"(recompute included) -> hardware util "
+                      f"{hfu * 100:.1f}%", file=sys.stderr)
     except Exception as e:  # cost analysis is best-effort diagnostics
         print(f"MFU unavailable: {e}", file=sys.stderr)
 

@@ -201,7 +201,12 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     ni = pl.num_programs(1)
 
     work = xc_ref.dtype
-    p = _softmax_taps(enc_ref[0], K2, S2, work)       # (TH, W, 9*S2)
+    # one softmax over the extended rows serves BOTH the local-row dp/denc
+    # math (rows 1..TH+1 equal the local softmax bitwise — softmax mixes
+    # nothing across rows) and the dx gather below (round-4 trim)
+    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni, jnp.float32)
+    p_ext = _softmax_taps(p_ext, K2, S2, work)    # (TH+2, W, 9*S2)
+    p = p_ext[1:TH + 1]                           # (TH, W, 9*S2)
     x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C)
     xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
     da = da_ref[0].astype(work)                       # (TH, W, S2*C)
@@ -238,10 +243,8 @@ def _bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     # ---- dx: gather over the 1-row halo ----
     # dx(r,w,c) = sum_k q_k(r - Dy, w - Dx, c),
     #   q_k(r,w,c) = sum_s p_k(r,w,s) * dacc(r,w,s,c)
-    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni, jnp.float32)
-    p_ext = _softmax_taps(p_ext, K2, S2, work)    # (TH+2, W, 9*S2)
-    # NB: softmax over already-extended logits; halo rows are all-zero
-    # logits -> uniform probs, but their dacc is zero so they contribute 0.
+    # NB: p_ext's halo rows are softmaxed all-zero logits -> uniform probs,
+    # but their dacc is zero so they contribute 0.
     dacc_ext = _row_ext(dap_ref, da_ref, dan_ref, i, ni)  # (TH+2, W, S2*C)
 
     dx = None

@@ -213,7 +213,12 @@ def _fused_bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
     da = dacc_ext[1:TH + 1]
 
     # ---- CARAFE backward (ops.pallas_carafe._bwd_kernel body) ----
-    p = _softmax_taps(enc_ref[0], K2, S2, work)       # (TH, W, 9*S2)
+    # one softmax over the extended rows serves BOTH the local-row dp/denc
+    # math (rows 1..TH+1) and the dx gather below — the separate local
+    # softmax recompute was pure waste (round-4 K4 trim)
+    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni, jnp.float32)
+    p_ext = _softmax_taps(p_ext, K2, S2, work)        # (TH+2, W, 9*S2)
+    p = p_ext[1:TH + 1]                               # (TH, W, 9*S2)
     x_ext = _row_ext(xp_ref, xc_ref, xn_ref, i, ni)   # (TH+2, W, C)
     xk = _taps(x_ext, TH)                             # 9 x (TH, W, C)
 
@@ -238,8 +243,6 @@ def _fused_bwd_kernel(xp_ref, xc_ref, xn_ref, enc_ref, encp_ref, encn_ref,
         axis=-1)
     denc_ref[0] = denc.astype(denc_ref.dtype)
 
-    p_ext = _row_ext(encp_ref, enc_ref, encn_ref, i, ni, jnp.float32)
-    p_ext = _softmax_taps(p_ext, K2, S2, work)
     dx = None
     k = 0
     for dy_ in (-1, 0, 1):

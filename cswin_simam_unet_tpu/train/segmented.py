@@ -286,7 +286,8 @@ def segment_param_keys(params: Dict, segments) -> List[List[str]]:
 
 def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                               donate_carries: bool = True,
-                              donate_state: bool = True) -> Callable:
+                              donate_state: bool = True,
+                              mesh=None) -> Callable:
     """(state, images_u8, masks_u8, rng) -> (state, metrics), as a chain of
     per-segment jitted programs (see module docstring).
 
@@ -294,6 +295,17 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     on-device augmentation (2048^2 memory-limited configs train without it
     or augment on host) and LayerNorm models (CSWin) only — no BatchNorm
     state threading.
+
+    With ``mesh`` (a ``('data',)`` jax Mesh; VERDICT r03 #4) the chain runs
+    data-parallel: the caller shards the batch over the mesh and replicates
+    the state (``parallel.shard_state``), and every per-segment program is
+    SPMD-partitioned by jit from its input shardings — carries stay
+    batch-sharded through the whole chain, and each segment's parameter
+    gradients are cross-device reduced by the partitioner inside that
+    segment's vjp program (grads come out replicated, so ``update_jit``
+    applies one identical update everywhere).  The only explicit treatment
+    is the dropout keys, which must be replicated rather than committed to
+    device 0.
     """
     from cswin_simam_unet_tpu.train.engine import (
         _batch_metrics,
@@ -302,6 +314,11 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         _prepare_batch,
     )
     from cswin_simam_unet_tpu.train.losses import segmentation_loss
+
+    rep = None
+    if mesh is not None:
+        from cswin_simam_unet_tpu.parallel import replicated
+        rep = replicated(mesh)
 
     flat = _flat_head(model, n_classes)
     segments = build_segments(model, flat_logits=flat)
@@ -369,6 +386,8 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         images, targets = prep_jit(images_u8, masks_u8)
         part = segment_param_keys(state.params, segments)
         key = jax.random.PRNGKey(0)  # unused: deterministic forward
+        if rep is not None:
+            key = jax.device_put(key, rep)
         carry = {"x": images}
         for i, (name, run) in enumerate(segments):
             params_i = {k: state.params[k] for k in part[i]}
@@ -397,6 +416,10 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         images, targets = prep_jit(images_u8, masks_u8)
         part = segment_param_keys(state.params, segments)
         keys = [jax.random.fold_in(k_drop, i) for i in range(len(segments))]
+        if rep is not None:
+            # eager-op outputs commit to device 0; the per-segment SPMD
+            # programs need every device to hold the same key
+            keys = [jax.device_put(k, rep) for k in keys]
 
         # forward: keep each segment's INPUT carry for the backward pass
         carries = [{"x": images}]
@@ -419,5 +442,51 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         state = update_jit(state, grads)
         return state, {"loss": loss, "dice": dice, "iou": iou}
 
+    def cost_flops(state, images_u8, masks_u8, rng):
+        """Summed XLA cost-analysis FLOPs of the chain's compiled programs
+        (VERDICT r03 #3: the segmented path previously reported no MFU).
+
+        ``useful``: prep + loss + optimizer + sum(seg_bwd) — each segment's
+        vjp program computes its forward AND backward exactly once, so this
+        sum is the standard fwd+bwd MFU numerator WITHOUT the chain's
+        recompute overhead.  ``executed`` adds the forward chain (whose
+        work the backward recomputes) — the flops the device actually runs.
+        Lowering uses ShapeDtypeStructs (no data), and every program was
+        already compiled by the warmup step, so this costs cache hits only.
+
+        NB: meaningless under ``scan_stages`` — XLA cost analysis counts a
+        scan body once regardless of trip count (the round-2 scan-MFU
+        undercount); callers must gate on ``not model.scan_stages``.
+        """
+        def sds(x):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), x)
+
+        def flops_of(jf, *args):
+            c = jf.lower(*args).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return float((c or {}).get("flops", 0.0) or 0.0)
+
+        part = segment_param_keys(state.params, segments)
+        key_s = sds(jax.eval_shape(
+            lambda r: jax.random.split(r)[1], rng))
+        img_s, tgt_s = jax.eval_shape(prep, sds(images_u8), sds(masks_u8))
+        useful = flops_of(prep_jit, sds(images_u8), sds(masks_u8))
+        fwd_extra = 0.0
+        carry = {"x": img_s}
+        for i, (name, run) in enumerate(segments):
+            params_s = {k: sds(state.params[k]) for k in part[i]}
+            carry_next = jax.eval_shape(seg_fwd[i], params_s, carry, key_s)
+            fwd_extra += flops_of(seg_fwd[i], params_s, carry, key_s)
+            # cotangent of the segment output has the output's shapes
+            useful += flops_of(seg_bwd[i], params_s, carry, key_s,
+                               carry_next)
+            carry = carry_next
+        useful += flops_of(loss_jit, carry["tokens"], tgt_s)
+        useful += flops_of(update_jit, sds(state), sds(state.params))
+        return {"useful": useful, "executed": useful + fwd_extra}
+
     step.eval_step = eval_step
+    step.cost_flops = cost_flops
     return step

@@ -156,3 +156,84 @@ def test_segmented_step_trains_with_dropout():
                         jnp.asarray(masks_u8))
     for k in ("loss", "dice", "iou"):
         assert float(got[k]) == pytest.approx(float(want[k]), abs=1e-5), k
+
+
+def test_segmented_data_parallel_matches_single_device():
+    """Segmented + DP (VERDICT r03 #4): the chain over an 8-device
+    ('data',) mesh — batch sharded, state replicated, per-segment grads
+    psum'd by the SPMD partitioner — must equal the single-device
+    segmented step (loss, metrics, updated params) when stochastic layers
+    are inert."""
+    from cswin_simam_unet_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        shard_state,
+    )
+
+    model = _model()
+    images_u8, masks_u8 = _data(batch=8)
+    rng = jax.random.PRNGKey(7)
+
+    state_a = _state(model)
+    seg = make_segmented_train_step(model, n_classes=1, donate_state=False)
+    new_a, metrics_a = seg(state_a, jnp.asarray(images_u8),
+                           jnp.asarray(masks_u8), rng)
+
+    mesh = make_mesh((8,), ("data",))
+    state_b = shard_state(_state(model), mesh)
+    bs = batch_sharding(mesh, 4)
+    seg_dp = make_segmented_train_step(model, n_classes=1,
+                                       donate_state=False, mesh=mesh)
+    new_b, metrics_b = seg_dp(state_b,
+                              jax.device_put(jnp.asarray(images_u8), bs),
+                              jax.device_put(jnp.asarray(masks_u8), bs),
+                              rng)
+
+    for k in ("loss", "dice", "iou"):
+        assert float(metrics_b[k]) == pytest.approx(
+            float(metrics_a[k]), abs=1e-5), k
+
+    leaves_a = jax.tree_util.tree_leaves_with_path(
+        jax.device_get(new_a.params))
+    leaves_b = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_leaves_with_path(
+                    jax.device_get(new_b.params))}
+    worst = 0.0
+    for path, a in leaves_a:
+        b = leaves_b[jax.tree_util.keystr(path)]
+        worst = max(worst, float(np.max(np.abs(a - b))))
+    assert worst < 5e-6, f"updated params deviate by {worst}"
+
+    # the DP eval chain agrees too
+    ev_a = seg.eval_step(state_a, jnp.asarray(images_u8),
+                         jnp.asarray(masks_u8))
+    ev_b = seg_dp.eval_step(state_b,
+                            jax.device_put(jnp.asarray(images_u8), bs),
+                            jax.device_put(jnp.asarray(masks_u8), bs))
+    for k in ("loss", "dice", "iou"):
+        assert float(ev_b[k]) == pytest.approx(float(ev_a[k]), abs=1e-5), k
+
+
+def test_segmented_cost_flops_orders():
+    """cost_flops (VERDICT r03 #3): useful <= executed, and useful is
+    within a sane band of the monolithic step's compiled cost analysis."""
+    model = _model()
+    state = _state(model)
+    images_u8, masks_u8 = _data()
+    rng = jax.random.PRNGKey(3)
+    seg = make_segmented_train_step(model, n_classes=1, donate_state=False)
+    seg(state, jnp.asarray(images_u8), jnp.asarray(masks_u8), rng)
+    cost = seg.cost_flops(state, jnp.asarray(images_u8),
+                          jnp.asarray(masks_u8), rng)
+    assert 0 < cost["useful"] <= cost["executed"]
+
+    mono = make_train_step(model, n_classes=1, augment=None, donate=False)
+    c = mono.lower(state, jnp.asarray(images_u8), jnp.asarray(masks_u8),
+                   rng).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    mono_flops = float(c.get("flops", 0.0))
+    if mono_flops > 0:
+        # XLA's optimised-HLO flop counts differ across fusion decisions;
+        # the numerator must agree to first order, not bitwise
+        assert 0.5 * mono_flops < cost["useful"] < 2.0 * mono_flops

@@ -73,43 +73,77 @@ bool decode_jpeg(const uint8_t *data, size_t len, int want_gray,
 
 // Bilinear resize, cv2 INTER_LINEAR half-pixel convention:
 //   src = (dst + 0.5) * (in / out) - 0.5, edge-clamped.
+//
+// Separable fixed-point two-pass (the cv2 scheme): the horizontal pass
+// interpolates each NEEDED source row once into an int32 row buffer
+// (cached — consecutive output rows share source rows), and the vertical
+// pass is one contiguous multiply-add over ow*ch elements that the
+// compiler auto-vectorises.  The original per-output-pixel scalar float
+// loop was the reason the native loader lost to cv2's SIMD resize
+// (BASELINE.md round-3 loader table, VERDICT r03 #8).
+constexpr int kFix = 11;              // weight fixed-point bits (cv2 uses 11)
+constexpr int kHalf = 1 << (2 * kFix - 1);
+
+void hinterp_row(const uint8_t *row, int ch, int ow, const int *x0s,
+                 const int *x1s, const int *wxs, int32_t *out) {
+  for (int x = 0; x < ow; ++x) {
+    const int x0 = x0s[x], x1 = x1s[x], w = wxs[x];
+    const int iw0 = (1 << kFix) - w;
+    for (int c = 0; c < ch; ++c)
+      out[x * ch + c] = row[x0 + c] * iw0 + row[x1 + c] * w;
+  }
+}
+
 void resize_bilinear(const uint8_t *src, int ih, int iw, int ch, uint8_t *dst,
                      int oh, int ow) {
   if (ih == oh && iw == ow) {
     std::memcpy(dst, src, static_cast<size_t>(ih) * iw * ch);
     return;
   }
-  const float sy = static_cast<float>(ih) / oh;
-  const float sx = static_cast<float>(iw) / ow;
-  std::vector<int> x0s(ow), x1s(ow);
-  std::vector<float> wxs(ow);
+  const double sy = static_cast<double>(ih) / oh;
+  const double sx = static_cast<double>(iw) / ow;
+  std::vector<int> x0s(ow), x1s(ow), wxs(ow);
   for (int x = 0; x < ow; ++x) {
-    float fx = (x + 0.5f) * sx - 0.5f;
-    fx = std::min(std::max(fx, 0.0f), static_cast<float>(iw - 1));
-    int x0 = static_cast<int>(fx);
-    x0s[x] = x0;
-    x1s[x] = std::min(x0 + 1, iw - 1);
-    wxs[x] = fx - x0;
+    double fx = (x + 0.5) * sx - 0.5;
+    fx = std::min(std::max(fx, 0.0), static_cast<double>(iw - 1));
+    const int x0 = static_cast<int>(fx);
+    x0s[x] = x0 * ch;
+    x1s[x] = std::min(x0 + 1, iw - 1) * ch;
+    wxs[x] = static_cast<int>((fx - x0) * (1 << kFix) + 0.5);
   }
+  const int row_elems = ow * ch;
+  std::vector<int32_t> h0(row_elems), h1(row_elems);
+  int cached0 = -1, cached1 = -1;
   for (int y = 0; y < oh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    fy = std::min(std::max(fy, 0.0f), static_cast<float>(ih - 1));
-    int y0 = static_cast<int>(fy);
-    int y1 = std::min(y0 + 1, ih - 1);
-    float wy = fy - y0;
-    const uint8_t *r0 = src + static_cast<size_t>(y0) * iw * ch;
-    const uint8_t *r1 = src + static_cast<size_t>(y1) * iw * ch;
-    uint8_t *out_row = dst + static_cast<size_t>(y) * ow * ch;
-    for (int x = 0; x < ow; ++x) {
-      const int x0 = x0s[x] * ch, x1 = x1s[x] * ch;
-      const float wx = wxs[x];
-      for (int c = 0; c < ch; ++c) {
-        const float top = r0[x0 + c] * (1 - wx) + r0[x1 + c] * wx;
-        const float bot = r1[x0 + c] * (1 - wx) + r1[x1 + c] * wx;
-        const float v = top * (1 - wy) + bot * wy;
-        out_row[x * ch + c] = static_cast<uint8_t>(v + 0.5f);
+    double fy = (y + 0.5) * sy - 0.5;
+    fy = std::min(std::max(fy, 0.0), static_cast<double>(ih - 1));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, ih - 1);
+    const int wy = static_cast<int>((fy - y0) * (1 << kFix) + 0.5);
+    // roll the cache forward: h1 frequently becomes the next h0
+    if (y0 != cached0) {
+      if (y0 == cached1) { h0.swap(h1); cached0 = y0; cached1 = -1; }
+      else {
+        hinterp_row(src + static_cast<size_t>(y0) * iw * ch, ch, ow,
+                    x0s.data(), x1s.data(), wxs.data(), h0.data());
+        cached0 = y0;
+        cached1 = -1;
       }
     }
+    if (y1 != cached1) {
+      if (y1 == y0) { std::memcpy(h1.data(), h0.data(),
+                                  row_elems * sizeof(int32_t)); }
+      else hinterp_row(src + static_cast<size_t>(y1) * iw * ch, ch, ow,
+                       x0s.data(), x1s.data(), wxs.data(), h1.data());
+      cached1 = y1;
+    }
+    const int iwy = (1 << kFix) - wy;
+    const int32_t *a = h0.data();
+    const int32_t *b = h1.data();
+    uint8_t *out_row = dst + static_cast<size_t>(y) * row_elems;
+    for (int i = 0; i < row_elems; ++i)  // contiguous: auto-vectorises
+      out_row[i] = static_cast<uint8_t>(
+          (a[i] * iwy + b[i] * wy + kHalf) >> (2 * kFix));
   }
 }
 

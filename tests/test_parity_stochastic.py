@@ -37,14 +37,17 @@ LR, WD = 1e-4, 1e-4
 DEPTH, SPLIT, HEADS = (1, 1, 2, 1), (1, 2, 2, 2), (2, 2, 2, 2)
 
 
-def _synthetic_task(n, seed):
+def _synthetic_task(n, seed, img=None):
     """Learnable blobs: image carries a bright disc, mask is the disc."""
+    img = img or IMG
     rs = np.random.RandomState(seed)
-    images = rs.randint(0, 128, (n, IMG, IMG, 3), dtype=np.uint8)
-    masks = np.zeros((n, IMG, IMG, 1), np.uint8)
-    yy, xx = np.mgrid[0:IMG, 0:IMG]
+    images = rs.randint(0, 128, (n, img, img, 3), dtype=np.uint8)
+    masks = np.zeros((n, img, img, 1), np.uint8)
+    yy, xx = np.mgrid[0:img, 0:img]
     for i in range(n):
-        cy, cx, r = rs.randint(16, 48), rs.randint(16, 48), rs.randint(8, 16)
+        q = img // 4
+        cy, cx = rs.randint(q, 3 * q), rs.randint(q, 3 * q)
+        r = rs.randint(img // 8, img // 4)
         disc = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
         images[i][disc] = np.minimum(images[i][disc] + 120, 255)
         masks[i, disc, 0] = 255
@@ -58,12 +61,15 @@ def _dice_np(probs, targets, eps=1e-6):
     return (2 * inter + eps) / (pred.sum() + t.sum() + eps)
 
 
-def _run_torch(seed, train_batches, eval_images, eval_masks):
+def _run_torch(seed, train_batches, eval_images, eval_masks,
+               img=None, depth=None, split=None, heads=None):
+    img, depth = img or IMG, depth or DEPTH
+    split, heads = split or SPLIT, heads or HEADS
     mod = load_reference("cswin")
     torch.manual_seed(seed)
     ref = mod.CSWinTransformer(
-        img_size=IMG, in_chans=3, num_classes=1, embed_dim=64,
-        depth=list(DEPTH), split_size=list(SPLIT), num_heads=list(HEADS),
+        img_size=img, in_chans=3, num_classes=1, embed_dim=64,
+        depth=list(depth), split_size=list(split), num_heads=list(heads),
         mlp_ratio=4.0, qkv_bias=True, drop_rate=DROP, attn_drop_rate=DROP,
         drop_path_rate=DROP)
     sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
@@ -83,19 +89,25 @@ def _run_torch(seed, train_batches, eval_images, eval_masks):
     with torch.no_grad():
         probs = ref(torch.tensor(
             eval_images.transpose(0, 3, 1, 2).astype(np.float32) / 255.0))
+        y = torch.tensor(
+            eval_masks.transpose(0, 3, 1, 2).astype(np.float32) / 255.0)
+        loss = float(crit(probs, y))
     dice = _dice_np(probs.numpy(),
                     eval_masks.astype(np.float32) / 255.0)
-    return sd, dice
+    return sd, dice, loss
 
 
-def _run_ours(sd, seed, train_batches, eval_images, eval_masks):
-    variables = import_cswin_state_dict(sd, depth=DEPTH)
-    model = CSWinUNet(img_size=IMG, embed_dim=64, depth=DEPTH,
-                      split_size=SPLIT, num_heads=HEADS,
+def _run_ours(sd, seed, train_batches, eval_images, eval_masks,
+              img=None, depth=None, split=None, heads=None):
+    img, depth = img or IMG, depth or DEPTH
+    split, heads = split or SPLIT, heads or HEADS
+    variables = import_cswin_state_dict(sd, depth=depth)
+    model = CSWinUNet(img_size=img, embed_dim=64, depth=depth,
+                      split_size=split, num_heads=heads,
                       drop_rate=DROP, attn_drop_rate=DROP,
                       drop_path_rate=DROP)
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               (1, IMG, IMG, 3), "adamw", LR, WD)
+                               (1, img, img, 3), "adamw", LR, WD)
     state = state.replace(
         params=jax.tree_util.tree_map(jnp.asarray, variables["params"]))
     step = make_train_step(model, n_classes=1, augment=None, donate=False)
@@ -105,7 +117,7 @@ def _run_ours(sd, seed, train_batches, eval_images, eval_masks):
                         jax.random.fold_in(base, i))
     eval_step = make_eval_step(model, n_classes=1)
     m = eval_step(state, jnp.asarray(eval_images), jnp.asarray(eval_masks))
-    return float(m["dice"])
+    return float(m["dice"]), float(m["loss"])
 
 
 @pytest.mark.slow
@@ -117,8 +129,8 @@ def test_stochastic_recipe_statistical_parity():
         batches = [(tr_imgs[i * BATCH:(i + 1) * BATCH],
                     tr_masks[i * BATCH:(i + 1) * BATCH])
                    for i in range(STEPS)]
-        sd, ref_dice = _run_torch(seed, batches, eval_images, eval_masks)
-        our_dice = _run_ours(sd, seed, batches, eval_images, eval_masks)
+        sd, ref_dice, _ = _run_torch(seed, batches, eval_images, eval_masks)
+        our_dice, _ = _run_ours(sd, seed, batches, eval_images, eval_masks)
         refs.append(ref_dice)
         ours.append(our_dice)
 
@@ -129,3 +141,62 @@ def test_stochastic_recipe_statistical_parity():
     # seed-to-seed noise by more than 2 sigma
     assert gap < 3e-3, (ours, refs)
     assert gap < 2 * spread + 1e-3, (ours, refs, gap, spread)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").environ.get(
+    "CSWIN_FLAGSHIP_PARITY"),
+    reason="~30-60 min on the 1-core CPU host; set CSWIN_FLAGSHIP_PARITY=1 "
+           "(measured result recorded in BASELINE.md round 4)")
+def test_stochastic_recipe_statistical_parity_flagship():
+    """VERDICT r03 #7: the same statistical gate at the FLAGSHIP recipe —
+    224^2, depth (1,2,9,1), heads (2,4,8,16), split (1,2,7,7), drop 0.3 —
+    with >= 5 seeds, so the 0.3% claim carries a visible confidence band at
+    the geometry the reference actually ships
+    (train_cswinunet_segmentation.py:921-951).  Prints mean+-sigma for both
+    frameworks (recorded in BASELINE.md)."""
+    img, depth = 224, (1, 2, 9, 1)
+    split, heads = (1, 2, 7, 7), (2, 4, 8, 16)
+    seeds, steps, batch = 5, 20, 2
+    eval_images, eval_masks = _synthetic_task(4, seed=999, img=img)
+    ours, refs, our_losses, ref_losses = [], [], [], []
+    for seed in range(seeds):
+        tr_imgs, tr_masks = _synthetic_task(batch * steps, seed=seed,
+                                            img=img)
+        batches = [(tr_imgs[i * batch:(i + 1) * batch],
+                    tr_masks[i * batch:(i + 1) * batch])
+                   for i in range(steps)]
+        sd, ref_dice, ref_loss = _run_torch(
+            seed, batches, eval_images, eval_masks,
+            img=img, depth=depth, split=split, heads=heads)
+        our_dice, our_loss = _run_ours(
+            sd, seed, batches, eval_images, eval_masks,
+            img=img, depth=depth, split=split, heads=heads)
+        refs.append(ref_dice)
+        ours.append(our_dice)
+        ref_losses.append(ref_loss)
+        our_losses.append(our_loss)
+        print(f"seed {seed}: ref dice {ref_dice:.4f} loss {ref_loss:.5f} | "
+              f"ours dice {our_dice:.4f} loss {our_loss:.5f}", flush=True)
+
+    m_ref, s_ref = float(np.mean(ref_losses)), float(np.std(ref_losses))
+    m_our, s_our = float(np.mean(our_losses)), float(np.std(our_losses))
+    print(f"flagship stochastic parity (eval BCE): "
+          f"ref {m_ref:.5f}+-{s_ref:.5f} ours {m_our:.5f}+-{s_our:.5f} "
+          f"gap {abs(m_our - m_ref):.5f}; dice ref "
+          f"{np.mean(refs):.4f}+-{np.std(refs):.4f} ours "
+          f"{np.mean(ours):.4f}+-{np.std(ours):.4f}")
+    # 20 recipe steps from random init cannot lift sigmoid outputs past the
+    # 0.5 threshold, so Dice is degenerate (0) for BOTH frameworks at this
+    # scale — the continuous eval-BCE is the discriminating statistic here:
+    # it must agree across frameworks within the seed noise and within 1%
+    # relative.  Dice is gated whenever either framework shows signal.
+    loss_gap = abs(m_our - m_ref)
+    spread = max(s_ref, s_our, 1e-4)
+    assert loss_gap < 2 * spread + 0.01 * m_ref, (
+        ref_losses, our_losses, loss_gap, spread)
+    if max(float(np.mean(refs)), float(np.mean(ours))) > 0.05:
+        dice_gap = abs(float(np.mean(ours)) - float(np.mean(refs)))
+        d_spread = max(float(np.std(refs)), float(np.std(ours)), 1e-4)
+        assert dice_gap < 3e-3 or dice_gap < 2 * d_spread + 1e-3, (
+            ours, refs)

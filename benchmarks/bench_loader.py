@@ -31,7 +31,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_dataset(root: str, n: int, size: int, quality: int = 90):
+def make_dataset(root: str, n: int, size: int, quality: int = 90,
+                 content: str = "smooth"):
     import cv2
     img_dir = os.path.join(root, "images")
     mask_dir = os.path.join(root, "masks")
@@ -40,11 +41,13 @@ def make_dataset(root: str, n: int, size: int, quality: int = 90):
     rs = np.random.RandomState(0)
     for i in range(n):
         img = rs.randint(0, 256, (size, size, 3), dtype=np.uint8)
-        # jpeg-compressible content (pure noise inflates decode cost vs
-        # real photos): smooth gradients + noise
         yy, xx = np.mgrid[0:size, 0:size]
-        img = (img // 4 + ((yy + xx * (i + 1)) % 256)[..., None] // 2) \
-            .astype(np.uint8)
+        if content == "smooth":
+            # jpeg-compressible content (pure noise inflates decode cost vs
+            # real photos): smooth gradients + noise
+            img = (img // 4 + ((yy + xx * (i + 1)) % 256)[..., None] // 2) \
+                .astype(np.uint8)
+        # content == "noise": keep pure noise (decode worst case)
         mask = ((yy // 32 + xx // 32 + i) % 2 * 255).astype(np.uint8)
         cv2.imwrite(os.path.join(img_dir, f"{i:05d}.jpg"), img,
                     [cv2.IMWRITE_JPEG_QUALITY, quality])
@@ -69,6 +72,10 @@ def main():
     p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--keep", action="store_true")
+    p.add_argument("--quality", type=int, default=90)
+    p.add_argument("--content", default="smooth",
+                   choices=["smooth", "noise"],
+                   help="'noise' = pure-noise jpegs (decode worst case)")
     args = p.parse_args()
 
     from cswin_simam_unet_tpu.data.dataset import SegmentationDataSource
@@ -81,7 +88,8 @@ def main():
                             else None)
     try:
         t0 = time.perf_counter()
-        img_dir, mask_dir = make_dataset(root, args.n, args.image_size)
+        img_dir, mask_dir = make_dataset(root, args.n, args.image_size,
+                                         args.quality, args.content)
         print(f"dataset: {args.n} jpegs {args.image_size}^2 in "
               f"{time.perf_counter() - t0:.1f}s at {root} "
               f"({cores} cores, native={native_loader.available()})",

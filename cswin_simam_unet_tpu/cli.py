@@ -170,7 +170,9 @@ def build_argparser() -> argparse.ArgumentParser:
                          "directory, or reference torch .pth")
     es.add_argument("--output", required=True, help=".stablehlo output path")
     es.add_argument("--batch-size", type=int, default=1,
-                    help="serving batch the artifact is specialised to")
+                    help="serving batch the artifact is specialised to; "
+                         "0 = batch-POLYMORPHIC artifact (symbolic batch "
+                         "dim, any batch at call time — XLA path only)")
     es.add_argument("--image-size", type=int, default=None)
     es.add_argument("--bf16", action="store_true")
     es.add_argument("--pallas", action="store_true")
@@ -583,12 +585,14 @@ def run_export_serving(args) -> int:
     size = cfg.image_size
     model = build_model(cfg.model, size)
     variables = _load_variables(model, cfg, size, args.weights)
-    blob = export_serving(model, variables, batch_size=args.batch_size,
+    bs = args.batch_size if args.batch_size > 0 else None
+    blob = export_serving(model, variables, batch_size=bs,
                           image_size=size,
                           in_channels=cfg.model.in_channels)
     save_serving(args.output, blob)
     print(f"Exported serving artifact: {args.output} "
-          f"({len(blob) / 1e6:.1f} MB, batch {args.batch_size}, "
+          f"({len(blob) / 1e6:.1f} MB, batch "
+          f"{'POLYMORPHIC' if bs is None else bs}, "
           f"{size}^2, platform "
           f"{jax.devices()[0].platform})")
     return 0

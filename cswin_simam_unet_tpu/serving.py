@@ -35,16 +35,33 @@ def make_serving_fn(model, variables):
     return serve
 
 
-def export_serving(model, variables, batch_size: int, image_size: int,
+def export_serving(model, variables, batch_size: int | None, image_size: int,
                    in_channels: int = 3,
                    platforms: tuple[str, ...] | None = None) -> bytes:
-    """Export the serving fn at a fixed batch shape; returns the
-    serialized bytes (weights included as module constants)."""
+    """Export the serving fn; returns the serialized bytes (weights
+    included as module constants).
+
+    ``batch_size=None`` exports with a SYMBOLIC batch dimension — one
+    artifact serves any batch size (jax.export shape polymorphism).  Only
+    the XLA compute path is batch-polymorphic; models built with
+    ``use_pallas=True`` have batch-dependent Pallas grids and must export
+    at fixed batch sizes (the XLA path computes identical values).
+    """
     from jax import export as jax_export
 
     serve = make_serving_fn(model, variables)
+    if batch_size is None:
+        if getattr(model, "use_pallas", False):
+            raise ValueError(
+                "batch-polymorphic export requires the XLA path: rebuild "
+                "the model with use_pallas=False (identical values), or "
+                "export fixed batch sizes")
+        (b,) = jax_export.symbolic_shape("b")
+        batch_dim = b
+    else:
+        batch_dim = batch_size
     spec = jax.ShapeDtypeStruct(
-        (batch_size, image_size, image_size, in_channels), jnp.uint8)
+        (batch_dim, image_size, image_size, in_channels), jnp.uint8)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)

@@ -93,3 +93,30 @@ def test_export_unet(tmp_path):
     want = np.asarray(make_serving_fn(model, variables)(jnp.asarray(images)))
     got = np.asarray(load_serving(path)(images))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_export_batch_polymorphic(tmp_path):
+    """batch_size=None exports ONE artifact with a symbolic batch dim that
+    serves any batch at call time, matching in-process predict."""
+    model, variables = _tiny_cswin()
+    blob = export_serving(model, variables, batch_size=None, image_size=32)
+    path = tmp_path / "poly.stablehlo"
+    save_serving(str(path), blob)
+    serve = load_serving(str(path))
+    rs = np.random.RandomState(0)
+    for b in (1, 3, 8):
+        x = rs.randint(0, 256, (b, 32, 32, 3), dtype=np.uint8)
+        got = np.asarray(serve(x))
+        want = np.asarray(make_serving_fn(model, variables)(jnp.asarray(x)))
+        assert got.shape == want.shape == (b, 32, 32, 1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_export_batch_polymorphic_rejects_pallas():
+    model = CSWinUNet(img_size=32, embed_dim=16, depth=(1, 1, 1, 1),
+                      split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2),
+                      use_simam=True, use_pallas=True)
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 32, 32, 3)), train=False))(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="polymorphic"):
+        export_serving(model, variables, batch_size=None, image_size=32)

@@ -138,14 +138,21 @@ def orchestrate():
     if can_fallback:
         remaining = budget - (time.monotonic() - t0)
         upgrade_reserve = 220.0 if cache_warm else 0.0
-        result = _run_inner(user_args + ["--scan-stages"],
-                            remaining - upgrade_reserve)
-        if result is None and upgrade_reserve:
-            # scan stalled: one more scan try with what's left of the
-            # budget before giving the unrolled path the scraps
+        # Cap the first scan attempt: a warm scan run is ~105-185 s
+        # end-to-end, so a run past ~260 s IS the stochastic
+        # executable-load stall (measured distribution in BASELINE.md) —
+        # kill it early enough that a fresh attempt (whose load re-rolls
+        # the dice) AND the unrolled upgrade still fit the budget.
+        first_cap = min(remaining - upgrade_reserve,
+                        260.0 if cache_warm else remaining)
+        result = _run_inner(user_args + ["--scan-stages"], first_cap)
+        if result is None:
+            # scan stalled: one more scan try, still reserving time for
+            # the unrolled upgrade when the cache is warm
             remaining = budget - (time.monotonic() - t0)
+            reserve2 = 160.0 if cache_warm else 10.0
             result = _run_inner(user_args + ["--scan-stages"],
-                                remaining - 10)
+                                remaining - reserve2)
 
     if cache_warm or not can_fallback:
         remaining = budget - (time.monotonic() - t0)

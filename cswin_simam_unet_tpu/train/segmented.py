@@ -384,7 +384,7 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         at 2048^2 exactly like the train graph."""
         assert state.batch_stats is None
         images, targets = prep_jit(images_u8, masks_u8)
-        part = segment_param_keys(state.params, segments)
+        part = _part_for(state.params)
         key = jax.random.PRNGKey(0)  # unused: deterministic forward
         if rep is not None:
             key = jax.device_put(key, rep)
@@ -409,17 +409,34 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
 
     loss_metrics_jit = jax.jit(loss_metrics)
 
+    # host-overhead trims (the chain dispatches ~45 programs per step
+    # through the tunnel — per-call Python must stay ahead of the device):
+    # the param partition is a pure function of the KEY SET (stable across
+    # steps), and the 10 per-segment dropout keys come from ONE jitted
+    # program instead of 10 eager fold_in dispatches.
+    part_cache: Dict[frozenset, List[List[str]]] = {}
+
+    def _part_for(params):
+        sig = frozenset(params)
+        if sig not in part_cache:
+            part_cache[sig] = segment_param_keys(params, segments)
+        return part_cache[sig]
+
+    def make_keys(rng):
+        _, k_drop = jax.random.split(rng)
+        return tuple(jax.random.fold_in(k_drop, i)
+                     for i in range(len(segments)))
+
+    make_keys_jit = jax.jit(make_keys,
+                            out_shardings=(rep,) * len(segments)
+                            if rep is not None else None)
+
     def step(state, images_u8, masks_u8, rng):
         assert state.batch_stats is None, \
             "segmented step supports LayerNorm models (CSWin) only"
-        _, k_drop = jax.random.split(rng)
         images, targets = prep_jit(images_u8, masks_u8)
-        part = segment_param_keys(state.params, segments)
-        keys = [jax.random.fold_in(k_drop, i) for i in range(len(segments))]
-        if rep is not None:
-            # eager-op outputs commit to device 0; the per-segment SPMD
-            # programs need every device to hold the same key
-            keys = [jax.device_put(k, rep) for k in keys]
+        part = _part_for(state.params)
+        keys = make_keys_jit(rng)
 
         # forward: keep each segment's INPUT carry for the backward pass
         carries = [{"x": images}]

@@ -147,10 +147,13 @@ def orchestrate():
                         260.0 if cache_warm else remaining)
         result = _run_inner(user_args + ["--scan-stages"], first_cap)
         if result is None:
-            # scan stalled: one more scan try, still reserving time for
-            # the unrolled upgrade when the cache is warm
+            # scan stalled: one more scan try.  Reserve upgrade time only
+            # if the retry still gets a full warm-band window (>= 200 s;
+            # the warm scan run itself is 105-185 s) — banking SOME number
+            # beats gambling everything on the unrolled load.
             remaining = budget - (time.monotonic() - t0)
-            reserve2 = 160.0 if cache_warm else 10.0
+            reserve2 = 160.0 if (cache_warm
+                                 and remaining - 160.0 >= 200.0) else 10.0
             result = _run_inner(user_args + ["--scan-stages"],
                                 remaining - reserve2)
 
@@ -390,22 +393,31 @@ def main():
     flops_executed = None
     try:
         scan_undercount = args.model == "cswin" and args.scan_stages
-        if args.mode == "infer":
+        if scan_undercount:
+            # XLA cost analysis counts a lax.scan body ONCE regardless of
+            # trip count, so scan-stages MFU would be a wrong (low) number
+            # (the round-2 "3.6%" artifact) — in BOTH train and infer
+            # modes; suppress rather than mislead.
+            print("MFU suppressed: scan-stages cost analysis undercounts "
+                  "scan bodies (compare step times instead)",
+                  file=sys.stderr)
+            cost = None
+        elif args.mode == "infer":
             cost = predict.lower(variables, images).compile().cost_analysis()
-        elif args.segmented and not scan_undercount:
+        elif args.segmented and n_chips == 1:
             # sum of the chain's compiled per-program cost analyses:
             # 'useful' = fwd+bwd+opt once (each seg_bwd vjp program holds
             # its fwd AND bwd) — the standard MFU numerator; 'executed'
-            # adds the forward chain the backward recomputes
+            # adds the forward chain the backward recomputes.  Single-chip
+            # only: cost_flops lowers with bare ShapeDtypeStructs, which
+            # under a DP mesh would recompile unsharded variants of every
+            # segment instead of hitting the warmed SPMD programs.
             seg_cost = step.cost_flops(state, images, masks, rng)
             cost = {"flops": seg_cost["useful"]}
             flops_executed = seg_cost["executed"]
-        elif scan_undercount:
-            # XLA cost analysis counts a lax.scan body ONCE regardless of
-            # trip count, so scan-stages MFU would be a wrong (low) number
-            # (the round-2 "3.6%" artifact); suppress rather than mislead.
-            print("MFU suppressed: scan-stages cost analysis undercounts "
-                  "scan bodies (compare step times instead)",
+        elif args.segmented:
+            print("MFU skipped for segmented+DP (cost_flops lowers "
+                  "unsharded programs; see train/segmented.py)",
                   file=sys.stderr)
             cost = None
         else:

@@ -192,12 +192,13 @@ class LePEAttention(nn.Module):
                 impl = stripe_attention_pallas_v2
             else:
                 from cswin_simam_unet_tpu.ops.pallas_attention_flash import (
+                    _VMEM_LIMIT,
                     flash_vmem_bytes,
                     stripe_attention_pallas_flash,
                 )
                 itemsize = jnp.dtype(self.dtype).itemsize
                 if flash_vmem_bytes(hsp * wsp, self.dim,
-                                    itemsize) <= 110 * 1024 * 1024:
+                                    itemsize) <= _VMEM_LIMIT:
                     impl = stripe_attention_pallas_flash
         out = impl(q, k, v, kernel.astype(self.dtype), **attn_kw)
         # get_v bias: constant per channel, conv(v)+b — add after the window

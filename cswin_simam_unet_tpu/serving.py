@@ -103,25 +103,34 @@ def _coerce_uint8(images):
         if images.dtype == jnp.uint8:
             return images
         if jnp.issubdtype(images.dtype, jnp.floating):
-            mx = float(jnp.max(images))  # device sync — error path only
-            if mx <= 1.0:
+            if images.size == 0:
+                return images.astype(jnp.uint8)
+            # device syncs — slow path for mistaken dtypes only
+            mn = float(jnp.min(images))
+            mx = float(jnp.max(images))
+            if 0.0 <= mn and mx <= 1.0:
                 return jnp.round(images * 255.0).astype(jnp.uint8)
-            if mx <= 255.0 and bool(jnp.all(images == jnp.round(images))):
+            if 0.0 <= mn and mx <= 255.0 and \
+                    bool(jnp.all(images == jnp.round(images))):
                 return images.astype(jnp.uint8)
             raise ValueError(
                 "load_serving: float input is neither normalised [0,1] nor "
-                f"integer-valued 0-255 pixels (max={mx:g}); pass uint8")
+                f"integer-valued 0-255 pixels (range [{mn:g}, {mx:g}]); "
+                "pass uint8")
         return images.astype(jnp.uint8)
     arr = np.asarray(images)
     if arr.dtype == np.uint8:
         return arr
     if np.issubdtype(arr.dtype, np.floating):
-        mx = float(arr.max()) if arr.size else 0.0
-        if mx <= 1.0:
+        if arr.size == 0:
+            return arr.astype(np.uint8)
+        mn, mx = float(arr.min()), float(arr.max())
+        if 0.0 <= mn and mx <= 1.0:
             return np.round(arr * 255.0).astype(np.uint8)
-        if mx <= 255.0 and np.array_equal(arr, np.round(arr)):
+        if 0.0 <= mn and mx <= 255.0 and np.array_equal(arr, np.round(arr)):
             return arr.astype(np.uint8)
         raise ValueError(
             "load_serving: float input is neither normalised [0,1] nor "
-            f"integer-valued 0-255 pixels (max={mx:g}); pass uint8")
+            f"integer-valued 0-255 pixels (range [{mn:g}, {mx:g}]); "
+            "pass uint8")
     return arr.astype(np.uint8)

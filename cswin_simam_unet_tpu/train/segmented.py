@@ -468,8 +468,12 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         sum is the standard fwd+bwd MFU numerator WITHOUT the chain's
         recompute overhead.  ``executed`` adds the forward chain (whose
         work the backward recomputes) — the flops the device actually runs.
-        Lowering uses ShapeDtypeStructs (no data), and every program was
-        already compiled by the warmup step, so this costs cache hits only.
+        Lowering uses bare ShapeDtypeStructs (no data, no shardings): on a
+        single device every program was already compiled by the warmup
+        step so this costs cache hits only; under a DP mesh the SPMD
+        programs have different HLO, so calling this would trigger fresh
+        unsharded compiles — callers gate on single-device (bench.py
+        does).
 
         NB: meaningless under ``scan_stages`` — XLA cost analysis counts a
         scan body once regardless of trip count (the round-2 scan-MFU

@@ -61,3 +61,15 @@ def test_get_config_overrides():
 def test_unknown_config_raises():
     with pytest.raises(KeyError):
         get_config("nope")
+
+
+def test_segmented_flag_tristate():
+    """ADVICE r03: --segmented must be tri-state so a segmented-by-default
+    config (cswin_simam_2048) can be A/B'd monolithically via
+    --no-segmented, and the default follows the config."""
+    from cswin_simam_unet_tpu.cli import build_argparser
+    p = build_argparser()
+    base = ["train", "--image-dir", "x", "--mask-dir", "y"]
+    assert p.parse_args(base).segmented is None
+    assert p.parse_args(base + ["--segmented"]).segmented is True
+    assert p.parse_args(base + ["--no-segmented"]).segmented is False

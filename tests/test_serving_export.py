@@ -120,3 +120,22 @@ def test_export_batch_polymorphic_rejects_pallas():
         r, jnp.zeros((1, 32, 32, 3)), train=False))(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="polymorphic"):
         export_serving(model, variables, batch_size=None, image_size=32)
+
+
+def test_coerce_uint8_guards():
+    """Float coercion: [0,1] scales, integer-valued 0-255 casts, negative
+    or out-of-range floats are REJECTED (not silently wrapped), empty
+    arrays pass through both branches."""
+    from cswin_simam_unet_tpu.serving import _coerce_uint8
+    ok = _coerce_uint8(np.array([[0.0, 0.5, 1.0]], np.float32))
+    np.testing.assert_array_equal(ok, [[0, 128, 255]])
+    ok = _coerce_uint8(np.array([[0.0, 12.0, 255.0]], np.float32))
+    np.testing.assert_array_equal(ok, [[0, 12, 255]])
+    for bad in ([[-0.5, 0.5]], [[0.25, 300.0]], [[-3.0, 12.5]]):
+        with pytest.raises(ValueError, match="pass uint8"):
+            _coerce_uint8(np.array(bad, np.float32))
+        with pytest.raises(ValueError, match="pass uint8"):
+            _coerce_uint8(jnp.asarray(np.array(bad, np.float32)))
+    assert _coerce_uint8(np.zeros((0, 4), np.float32)).dtype == np.uint8
+    assert _coerce_uint8(jnp.zeros((0, 4), jnp.float32)).dtype == jnp.uint8
+    assert _coerce_uint8(np.array([[7]], np.int32)).dtype == np.uint8

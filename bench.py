@@ -139,23 +139,21 @@ def orchestrate():
         remaining = budget - (time.monotonic() - t0)
         upgrade_reserve = 220.0 if cache_warm else 0.0
         # Cap the first scan attempt: a warm scan run is ~105-185 s
-        # end-to-end, so a run past ~260 s IS the stochastic
+        # end-to-end, so a run past ~300 s IS the stochastic
         # executable-load stall (measured distribution in BASELINE.md) —
         # kill it early enough that a fresh attempt (whose load re-rolls
-        # the dice) AND the unrolled upgrade still fit the budget.
+        # the dice) still fits.  The retry then gets EVERYTHING left:
+        # banking some number beats gambling the rest on the unrolled
+        # upgrade (observed 2026-08-21: a night where loads stalled >310 s
+        # repeatedly — an aggressive retry reserve turned a would-be
+        # banked number into a value-0 run).
         first_cap = min(remaining - upgrade_reserve,
-                        260.0 if cache_warm else remaining)
+                        300.0 if cache_warm else remaining)
         result = _run_inner(user_args + ["--scan-stages"], first_cap)
         if result is None:
-            # scan stalled: one more scan try.  Reserve upgrade time only
-            # if the retry still gets a full warm-band window (>= 200 s;
-            # the warm scan run itself is 105-185 s) — banking SOME number
-            # beats gambling everything on the unrolled load.
             remaining = budget - (time.monotonic() - t0)
-            reserve2 = 160.0 if (cache_warm
-                                 and remaining - 160.0 >= 200.0) else 10.0
             result = _run_inner(user_args + ["--scan-stages"],
-                                remaining - reserve2)
+                                remaining - 10)
 
     if cache_warm or not can_fallback:
         remaining = budget - (time.monotonic() - t0)

@@ -83,6 +83,17 @@ def validate_heads(embed_dim: int, num_heads: Sequence[int]) -> None:
                 f"stage {i + 1}: dim {dim} not divisible by num_heads {h}")
 
 
+def scan_min_depth(scan_stages) -> Optional[int]:
+    """Resolve a ``scan_stages`` setting to the minimum stage depth that is
+    scanned (None = nothing scanned).  Bool is an int subtype, so it is
+    tested first: True scans every multi-block stage (depth > 1)."""
+    if scan_stages is True:
+        return 2
+    if scan_stages is False:
+        return None
+    return int(scan_stages)
+
+
 class CSWinUNet(nn.Module):
     """The full CSWin(-SimAM)-UNet (ref ``CSWinTransformer``, :489-688)."""
 
@@ -117,7 +128,15 @@ class CSWinUNet(nn.Module):
     # models/scan_params.py for the param-layout converters); much smaller
     # XLA graph, so cold compiles are far cheaper — the win that matters for
     # very large images where the unrolled graph exhausts the compiler.
-    scan_stages: bool = False
+    # False = fully unrolled; True = scan every multi-block stage (depth>1);
+    # an int N = scan only stages with depth >= N (the "hybrid" form: e.g.
+    # N=3 scans just the two 9-block stage-3 twins and unrolls the rest,
+    # trading a little fusion for a much smaller executable).
+    scan_stages: Union[bool, int] = False
+    # lax.scan body unroll factor for scanned stages (identical math and
+    # param layout; restores intra-group cross-block fusion — see
+    # models/layers.py::scan_blocks)
+    scan_unroll: int = 1
     dtype: Dtype = jnp.float32
 
     def _block_kw(self, stage: int, reso: int, dpr: float,
@@ -183,13 +202,16 @@ class CSWinUNet(nn.Module):
         # ---- encoder (ref :625-650); skips returned, not stored ----
         from cswin_simam_unet_tpu.models.layers import scan_blocks
 
+        min_scan_depth = scan_min_depth(self.scan_stages)
+
         def run_stage(tokens, s: int, name: str, last: bool):
-            if self.scan_stages and depth[s] > 1:
+            if min_scan_depth is not None and depth[s] >= min_scan_depth:
                 dpr_s = jnp.asarray(dpr[starts[s]:starts[s] + depth[s]],
                                     jnp.float32)
                 tokens, _ = scan_blocks(
                     depth[s], self._block_kw(s, resos[s], 0.0, last),
-                    deterministic, self.remat, f"{name}_scan")(tokens, dpr_s)
+                    deterministic, self.remat, f"{name}_scan",
+                    unroll=self.scan_unroll)(tokens, dpr_s)
                 return tokens
             for i in range(depth[s]):
                 tokens = Block(

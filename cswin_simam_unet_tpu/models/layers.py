@@ -301,7 +301,7 @@ class BlockScanCell(nn.Module):
 
 
 def scan_blocks(n: int, block_kw: dict, deterministic: bool, remat,
-                name: str):
+                name: str, unroll: int = 1):
     """A scanned stack of ``n`` CSWinBlocks sharing static ``block_kw``
     (params stacked on axis 0 under ``<name>/block``).  Call with
     ``(tokens, dpr_array)`` where ``dpr_array`` has shape (n,)."""
@@ -313,6 +313,12 @@ def scan_blocks(n: int, block_kw: dict, deterministic: bool, remat,
         split_rngs={"params": True, "dropout": True},
         in_axes=0, out_axes=0,
         length=n,
+        # lax.scan body unrolling: purely an XLA lowering choice (identical
+        # math, identical param layout/rng streams) that restores cross-block
+        # fusion WITHIN each unrolled group while keeping the executable
+        # ~unroll× smaller than the fully unrolled stage — the middle ground
+        # the bench orchestrator's hybrid fallback uses (see bench.py).
+        unroll=min(unroll, n),
     )
     return scanned(block_kw=tuple(sorted(kw.items(), key=lambda kv: kv[0])),
                    deterministic=deterministic, remat=remat, name=name)

@@ -31,7 +31,11 @@ def main():
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = STAGE
 
-    for args in ([], ["--scan-stages"]):
+    # the three orchestrator variants (bench.py::orchestrate): the unrolled
+    # headline, the warm hybrid fallback, and the cold-cache full scan
+    for args in ([],
+                 ["--scan-stages", "--scan-min-depth", "3"],
+                 ["--scan-stages"]):
         cmd = [sys.executable, os.path.join(HERE, "bench.py"),
                "--inner"] + args
         print(f"refresh_bench_cache: running {' '.join(cmd)} "
@@ -43,12 +47,12 @@ def main():
     files = sorted(f for f in os.listdir(STAGE) if f.endswith("-cache"))
     if not files:
         raise SystemExit("no cache entries produced")
-    # sanity BEFORE touching the committed directory: both configs'
+    # sanity BEFORE touching the committed directory: every variant's
     # step+init must be present (a run served from an unrelated warm cache
     # would leave gaps), so a failure never destroys the last good cache
     steps = [f for f in files if f.startswith("jit_step-")]
     inits = [f for f in files if f.startswith("jit_init_fn-")]
-    assert len(steps) >= 2 and len(inits) >= 2, (steps, inits)
+    assert len(steps) >= 3 and len(inits) >= 3, (steps, inits)
 
     import jax
     # build the replacement next to DEST, then swap atomically

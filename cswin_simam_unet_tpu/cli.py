@@ -90,7 +90,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=None,
                    help="per-stage jitted programs with vjp recompute "
                         "(bounded compile memory for 2048^2-class images; "
-                        "excludes augment/grad-accum). Default follows the "
+                        "composes with augment/grad-accum). Default follows the "
                         "config; --no-segmented forces the monolithic step "
                         "even for segmented-by-default configs")
     t.add_argument("--no-progress", action="store_true",

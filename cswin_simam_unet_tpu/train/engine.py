@@ -420,10 +420,6 @@ def fit(model, state: TrainState, train_loader, test_loader,
     from cswin_simam_unet_tpu.data.pipeline import device_prefetch
 
     if cfg.segmented:
-        if cfg.augment is not None or cfg.grad_accum != 1:
-            raise ValueError("segmented training excludes augment/"
-                             "grad_accum (2048^2-class configs train "
-                             "without them)")
         from cswin_simam_unet_tpu.models import CSWinUNet
         if not isinstance(model, CSWinUNet):
             raise ValueError("--segmented supports the CSWin family only "
@@ -434,7 +430,9 @@ def fit(model, state: TrainState, train_loader, test_loader,
             make_segmented_train_step,
         )
         train_step = make_segmented_train_step(model, cfg.n_classes,
-                                               mesh=mesh)
+                                               mesh=mesh,
+                                               augment=cfg.augment,
+                                               grad_accum=cfg.grad_accum)
         # the monolithic eval graph is compile-bounded at 2048^2 too
         eval_step = train_step.eval_step
     else:

@@ -84,12 +84,15 @@ def _run_stage(m: CSWinUNet, tokens, s: int, prefix: str, last: bool,
         Block = nn.remat(CSWinBlock, static_argnums=(2,))
     else:
         Block = CSWinBlock
-    if m.scan_stages and depth[s] > 1:
+    from cswin_simam_unet_tpu.models.cswin import scan_min_depth
+    msd = scan_min_depth(m.scan_stages)
+    if msd is not None and depth[s] >= msd:
         dpr_s = jnp.asarray(dpr[starts[s]:starts[s] + depth[s]],
                             jnp.float32)
         tokens, _ = scan_blocks(
             depth[s], m._block_kw(s, reso, 0.0, last),
-            deterministic, m.remat, f"{prefix}_scan")(tokens, dpr_s)
+            deterministic, m.remat, f"{prefix}_scan",
+            unroll=m.scan_unroll)(tokens, dpr_s)
         return tokens
     for i in range(depth[s]):
         tokens = Block(
@@ -197,54 +200,58 @@ class _Head(nn.Module):
         return logits
 
 
-# which carry keys each segment's OUTPUT must contain (pass-through skips
-# flow untouched; their cotangents chain for free through the vjp)
-_LIVE_AFTER = {
-    "embed": ("tokens",),
-    "enc1": ("tokens", "skip0"),
-    "enc2": ("tokens", "skip0", "skip1"),
-    "enc3": ("tokens", "skip0", "skip1", "skip2"),
-    "bottleneck": ("tokens", "skip0", "skip1", "skip2"),
-    "dec3": ("tokens", "skip0", "skip1"),
-    "dec2": ("tokens", "skip0"),
-    "dec1": ("tokens",),
-    "head": ("tokens",),
+# Per-segment carry signatures.  Skips are NOT threaded through
+# intermediate segments: each segment's carry holds exactly what it
+# consumes/produces, and the step() wiring routes skip tensors (and their
+# cotangents) directly from producer to consumer at the Python level —
+# round-4 VERDICT #3's "route pass-through skips around segments": the old
+# pass-through carries made every intermediate program copy each live skip
+# in (input buffers cannot alias outputs without donation) and back out,
+# both directions.
+_SEG_IO = {
+    "embed": (("x",), ("tokens",)),
+    "enc1": (("tokens",), ("tokens", "skip0")),
+    "enc2": (("tokens",), ("tokens", "skip1")),
+    "enc3": (("tokens",), ("tokens", "skip2")),
+    "bottleneck": (("tokens",), ("tokens",)),
+    "dec3": (("tokens", "skip2"), ("tokens",)),
+    "dec2": (("tokens", "skip1"), ("tokens",)),
+    "dec1": (("tokens", "skip0"), ("tokens",)),
+    "head": (("tokens",), ("tokens",)),
 }
 
 
 def build_segments(model: CSWinUNet, flat_logits: bool = False
                    ) -> List[Tuple[str, Callable]]:
     """Ordered (name, run) list; ``run(variables, carry, det, rngs)`` maps
-    a carry dict to the next carry dict."""
+    a carry dict (exactly ``_SEG_IO[name][0]``) to the output carry dict
+    (exactly ``_SEG_IO[name][1]``)."""
 
-    def as_run(name, module, in_keys, out_fn):
+    def as_run(name, module, out_fn):
+        in_keys = _SEG_IO[name][0]
+
         def run(variables, carry, deterministic, rngs):
             args = [carry[k] for k in in_keys]
             out = module.apply(variables, *args,
                                deterministic=deterministic, rngs=rngs)
-            new_carry = dict(carry)
-            for k in in_keys:
-                new_carry.pop(k, None)
+            new_carry: Dict[str, Any] = {}
             out_fn(new_carry, out)
-            return {k: new_carry[k] for k in _LIVE_AFTER[name]}
+            return new_carry
         return name, run
 
     def set_tokens(c, out):
         c["tokens"] = out
 
-    segs = [as_run("embed", _Embed(model), ["x"], set_tokens)]
+    segs = [as_run("embed", _Embed(model), set_tokens)]
     for s in range(3):
         def set_enc(c, out, s=s):
             c["tokens"], c[f"skip{s}"] = out
-        segs.append(as_run(f"enc{s + 1}", _Encoder(model, s), ["tokens"],
-                           set_enc))
-    segs.append(as_run("bottleneck", _Bottleneck(model), ["tokens"],
-                       set_tokens))
+        segs.append(as_run(f"enc{s + 1}", _Encoder(model, s), set_enc))
+    segs.append(as_run("bottleneck", _Bottleneck(model), set_tokens))
     for s in (2, 1, 0):
-        segs.append(as_run(f"dec{s + 1}", _Decoder(model, s),
-                           ["tokens", f"skip{s}"], set_tokens))
+        segs.append(as_run(f"dec{s + 1}", _Decoder(model, s), set_tokens))
     segs.append(as_run("head", _Head(model, flat_logits=flat_logits),
-                       ["tokens"], set_tokens))
+                       set_tokens))
     return segs
 
 
@@ -287,14 +294,33 @@ def segment_param_keys(params: Dict, segments) -> List[List[str]]:
 def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                               donate_carries: bool = True,
                               donate_state: bool = True,
-                              mesh=None) -> Callable:
+                              mesh=None, augment=None, grad_accum: int = 1,
+                              save_residuals: bool = True) -> Callable:
     """(state, images_u8, masks_u8, rng) -> (state, metrics), as a chain of
     per-segment jitted programs (see module docstring).
 
-    Matches ``make_train_step(model, n_classes, augment=None)`` math; no
-    on-device augmentation (2048^2 memory-limited configs train without it
-    or augment on host) and LayerNorm models (CSWin) only — no BatchNorm
-    state threading.
+    Matches ``make_train_step(model, n_classes, augment, grad_accum)``
+    math for LayerNorm models (CSWin) — no BatchNorm state threading.
+    Round-5 additions (VERDICT r04 #3/#5):
+
+    * ``save_residuals=True`` (default): each segment's forward program
+      also emits its vjp residuals (the flattened ``jax.vjp`` closure), and
+      the backward program replays ONLY the backward from those residuals —
+      no forward recompute, so the executed-FLOPs tax of the chain drops to
+      ~0 (cost_flops: executed == useful).  Costs the residual memory of
+      the whole net between fwd and bwd (it fits at 2048^2 batch 1 — the
+      round-2 compile blocker was the compiler, not HBM; BASELINE.md).
+      ``save_residuals=False`` restores the O(one-segment) activation
+      memory of recompute-in-backward for beyond-HBM configs.
+    * ``augment``: the reference's paired augmentation pipeline
+      (data/augment.py) fused into the jitted prep program — train-only,
+      exactly like the monolithic step.
+    * ``grad_accum=A``: A equal micro-batches per optimizer step (batch
+      divisible by A), gradients averaged on device, metrics reduced from
+      raw sums so they equal the full batch's.
+    * skips are routed AROUND segments (``_SEG_IO``): no pass-through
+      copies, and skip cotangents jump straight from the consuming decoder
+      segment's vjp to the producing encoder segment's.
 
     With ``mesh`` (a ``('data',)`` jax Mesh; VERDICT r03 #4) the chain runs
     data-parallel: the caller shards the batch over the mesh and replicates
@@ -307,68 +333,170 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     is the dropout keys, which must be replicated rather than committed to
     device 0.
     """
+    from cswin_simam_unet_tpu.data.augment import augment_batch
     from cswin_simam_unet_tpu.train.engine import (
-        _batch_metrics,
         _finalize_targets,
         _flat_head,
+        _metric_sums,
+        _metrics_from_sums,
         _prepare_batch,
     )
     from cswin_simam_unet_tpu.train.losses import segmentation_loss
 
     rep = None
+    n_dev = 1
     if mesh is not None:
         from cswin_simam_unet_tpu.parallel import replicated
         rep = replicated(mesh)
+        n_dev = mesh.size
 
+    # ADVICE r04: under a DP mesh, a use_pallas model's custom calls have
+    # no GSPMD partitioning rule — the partitioner may silently force
+    # replication (or fail on hardware).  Route the per-segment programs
+    # through shard_map instead: each shard traces the LOCAL batch shapes,
+    # so every Pallas grid is explicitly per-shard, and parameter grads
+    # are psum'd inside the mapped body.  XLA-path models keep plain
+    # GSPMD partitioning (proven by the DP equality tests).  shard_map
+    # differentiates per-shard, so the residual-saving fwd is replaced by
+    # the recompute-mode vjp pairing there.
+    use_shard_map = mesh is not None and bool(
+        getattr(model, "use_pallas", False))
+    if use_shard_map:
+        save_residuals = False
+
+    accum = int(grad_accum)
+    if accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     flat = _flat_head(model, n_classes)
     segments = build_segments(model, flat_logits=flat)
+    seg_names = [n for n, _ in segments]
+    n_seg = len(segments)
 
+    # Per-segment function names: the compile-cache key (and the remote
+    # compile service's job-dedup hash) includes the jitted symbol name.
+    # A generic shared name made every segment's program hash collide
+    # with any earlier wedged/killed remote compile job for that
+    # segment, which then hung all retries (observed 22 min on one
+    # segment across three runs while the identical computation under a
+    # fresh name compiled in 6 s).
     seg_fwd = []
     seg_bwd = []
+    _res_tree: Dict[str, Any] = {}  # vjp-closure treedefs, set at trace time
     for name, run in segments:
         # deterministic=False: this is the TRAINING pass — dropout and
         # drop-path active, like the monolithic step's train=True
         def fwd(params, carry, key, _run=run):
             return _run({"params": params}, carry, False, {"dropout": key})
 
-        def bwd(params, carry, key, g_out, _f=fwd):
-            _, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key), params, carry)
-            gp, gc = vjp_fn(g_out)
-            return gp, gc
+        if save_residuals:
+            def fwd_r(params, carry, key, _f=fwd, _name=name):
+                out, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key),
+                                      params, carry)
+                flat_res, treedef = jax.tree.flatten(vjp_fn)
+                _res_tree[_name] = treedef  # trace-time side channel
+                return out, tuple(flat_res)
 
-        # Per-segment function names: the compile-cache key (and the remote
-        # compile service's job-dedup hash) includes the jitted symbol name.
-        # A generic shared name made every segment's program hash collide
-        # with any earlier wedged/killed remote compile job for that
-        # segment, which then hung all retries (observed 22 min on one
-        # segment across three runs while the identical computation under a
-        # fresh name compiled in 6 s).
-        fwd.__name__ = f"seg_{name}_fwd"
-        bwd.__name__ = f"seg_{name}_bwd"
-        # fwd must NOT donate: the backward pass re-consumes each segment's
-        # input carry.  bwd's carry + cotangent are each used exactly once.
-        seg_fwd.append(jax.jit(fwd))
-        seg_bwd.append(jax.jit(
-            bwd, donate_argnums=(1, 3) if donate_carries else ()))
+            def bwd_r(res, g_out, _name=name):
+                vjp_fn = jax.tree.unflatten(_res_tree[_name], list(res))
+                return vjp_fn(g_out)
+
+            fwd_r.__name__ = f"seg_{name}_fwdres"
+            bwd_r.__name__ = f"seg_{name}_bwdres"
+            # embed's carry is the caller's images batch — never donate it
+            # (callers reuse the same buffers across steps); every other
+            # carry is chain-internal and dead after its segment consumes
+            # it, and the residuals + cotangents die inside bwd.
+            fdon = (1,) if (donate_carries and name != "embed") else ()
+            seg_fwd.append(jax.jit(fwd_r, donate_argnums=fdon))
+            seg_bwd.append(jax.jit(
+                bwd_r, donate_argnums=(0, 1) if donate_carries else ()))
+        else:
+            def bwd(params, carry, key, g_out, _f=fwd):
+                _, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key), params,
+                                    carry)
+                gp, gc = vjp_fn(g_out)
+                return gp, gc
+
+            fwd.__name__ = f"seg_{name}_fwd"
+            bwd.__name__ = f"seg_{name}_bwd"
+            if use_shard_map:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def bspec(k):
+                    return P("data", None, None, None) if k == "x" \
+                        else P("data", None, None)
+
+                in_keys, out_keys = _SEG_IO[name]
+                cin_spec = {k: bspec(k) for k in in_keys}
+                cout_spec = {k: bspec(k) for k in out_keys}
+
+                def fwd_sm(params, carry, key, _f=fwd, _ci=cin_spec,
+                           _co=cout_spec):
+                    return shard_map(
+                        _f, mesh=mesh, in_specs=(P(), _ci, P()),
+                        out_specs=_co, check_vma=False)(params, carry, key)
+
+                def bwd_sm(params, carry, key, g_out, _f=fwd,
+                           _ci=cin_spec, _co=cout_spec):
+                    def local(p, c, k, g):
+                        _, vjp_fn = jax.vjp(
+                            lambda pp, cc: _f(pp, cc, k), p, c)
+                        gp, gc = vjp_fn(g)
+                        # local grads sum the shard's samples; the global
+                        # gradient is their cross-shard sum, replicated
+                        gp = jax.tree.map(
+                            lambda x: jax.lax.psum(x, "data"), gp)
+                        return gp, gc
+                    return shard_map(
+                        local, mesh=mesh,
+                        in_specs=(P(), _ci, P(), _co),
+                        out_specs=(P(), _ci), check_vma=False)(
+                        params, carry, key, g_out)
+
+                fwd_sm.__name__ = f"seg_{name}_fwdsm"
+                bwd_sm.__name__ = f"seg_{name}_bwdsm"
+                seg_fwd.append(jax.jit(fwd_sm))
+                seg_bwd.append(jax.jit(
+                    bwd_sm, donate_argnums=(1, 3) if donate_carries else ()))
+            else:
+                # fwd must NOT donate: the backward pass re-consumes each
+                # segment's input carry.  bwd's carry + cotangent are each
+                # used exactly once.
+                seg_fwd.append(jax.jit(fwd))
+                seg_bwd.append(jax.jit(
+                    bwd, donate_argnums=(1, 3) if donate_carries else ()))
 
     def loss_and_glogits(logits, targets):
         def f(lg):
             return segmentation_loss(lg, targets, n_classes)
         loss, g = jax.value_and_grad(f)(logits)
-        dice, iou = _batch_metrics(jax.lax.stop_gradient(logits), targets,
-                                   n_classes)
-        return loss, g, dice, iou
+        msums = _metric_sums(jax.lax.stop_gradient(logits), targets,
+                             n_classes)
+        return loss, g, msums
 
     loss_jit = jax.jit(loss_and_glogits)
 
-    def prep(images_u8, masks_u8):
+    def prep(images_u8, masks_u8, k_aug):
         images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
+        if augment is not None:
+            images, masks = augment_batch(k_aug, images, masks, augment)
         targets = _finalize_targets(masks, n_classes)
         if flat:
             targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
         return images, targets
 
     prep_jit = jax.jit(prep)
+
+    def prep_eval(images_u8, masks_u8):
+        images, masks = _prepare_batch(images_u8, masks_u8, n_classes)
+        targets = _finalize_targets(masks, n_classes)
+        if flat:
+            targets = pixel_unshuffle(targets, model.FLAT_HEAD_FACTOR)
+        return images, targets
+
+    prep_eval_jit = jax.jit(prep_eval)
+
     # donate the old train state (default): without it the optimizer
     # update holds old AND new params+moments simultaneously — exactly the
     # HBM headroom this executor exists to preserve at 2048^2.  Callers
@@ -378,42 +506,19 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                          state.apply_gradients(grads=grads),
                          donate_argnums=(0,) if donate_state else ())
 
-    def eval_step(state, images_u8, masks_u8):
-        """Forward-only chain (deterministic), same metric semantics as
-        ``make_eval_step`` — the monolithic eval graph is compile-bounded
-        at 2048^2 exactly like the train graph."""
-        assert state.batch_stats is None
-        images, targets = prep_jit(images_u8, masks_u8)
-        part = _part_for(state.params)
-        key = jax.random.PRNGKey(0)  # unused: deterministic forward
-        if rep is not None:
-            key = jax.device_put(key, rep)
-        carry = {"x": images}
-        for i, (name, run) in enumerate(segments):
-            params_i = {k: state.params[k] for k in part[i]}
-            carry = _eval_seg[i](params_i, carry, key)
-        return loss_metrics_jit(carry["tokens"], targets)
-
-    _eval_seg = []
-    for name, run in segments:
-        # deterministic=True: eval disables every stochastic layer
-        def efwd(params, carry, key, _run=run):
-            return _run({"params": params}, carry, True, {"dropout": key})
-        efwd.__name__ = f"seg_{name}_eval"  # see the naming note above
-        _eval_seg.append(jax.jit(efwd))
-
-    def loss_metrics(logits, targets):
-        loss = segmentation_loss(logits, targets, n_classes)
-        dice, iou = _batch_metrics(logits, targets, n_classes)
-        return {"loss": loss, "dice": dice, "iou": iou}
-
-    loss_metrics_jit = jax.jit(loss_metrics)
+    # grad-accum combiners: running (grads, loss_sum, metric_sums) triple,
+    # accumulator donated each micro-step
+    acc_add_jit = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b),
+                          donate_argnums=(0,))
+    acc_scale_jit = jax.jit(
+        lambda g: jax.tree.map(lambda x: x / accum, g),
+        donate_argnums=(0,))
 
     # host-overhead trims (the chain dispatches ~45 programs per step
     # through the tunnel — per-call Python must stay ahead of the device):
     # the param partition is a pure function of the KEY SET (stable across
-    # steps), and the 10 per-segment dropout keys come from ONE jitted
-    # program instead of 10 eager fold_in dispatches.
+    # steps), and all per-segment/per-micro dropout keys come from ONE
+    # jitted program instead of eager fold_in dispatches.
     part_cache: Dict[frozenset, List[List[str]]] = {}
 
     def _part_for(params):
@@ -423,65 +528,213 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         return part_cache[sig]
 
     def make_keys(rng):
-        _, k_drop = jax.random.split(rng)
-        return tuple(jax.random.fold_in(k_drop, i)
-                     for i in range(len(segments)))
+        k_aug, k_drop = jax.random.split(rng)
+        segk = tuple(jax.random.fold_in(k_drop, i) for i in range(n_seg))
+        if accum == 1:
+            return (k_aug,) + segk
+        # per-micro streams: fold each segment key (and the augment key)
+        # by the micro index — mirrors the monolithic grad-accum step's
+        # per-micro fold_in (train/engine.py)
+        out = tuple(jax.random.fold_in(k_aug, a) for a in range(accum))
+        out += tuple(jax.random.fold_in(k, a)
+                     for a in range(accum) for k in segk)
+        return out
 
+    n_keys = accum + accum * n_seg if accum > 1 else 1 + n_seg
     make_keys_jit = jax.jit(make_keys,
-                            out_shardings=(rep,) * len(segments)
+                            out_shardings=(rep,) * n_keys
                             if rep is not None else None)
+
+    def run_chain(params, part, images, targets, seg_keys, collect=None):
+        """One fwd+bwd pass over the chain for one (micro-)batch.
+
+        ``collect``: optional dict that receives the per-program concrete
+        argument snapshots cost_flops needs (shape/dtype/sharding structs).
+        Returns (grads, loss, metric_sums).
+        """
+        def snap(tree):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding), tree)
+
+        cur: Dict[str, Any] = {"x": images}
+        skips: Dict[str, Any] = {}
+        inputs: List[Any] = []
+        residuals: List[Any] = []
+        for i, name in enumerate(seg_names):
+            in_keys, out_keys = _SEG_IO[name]
+            cin = {k: (cur.pop(k) if k in cur else skips.pop(k))
+                   for k in in_keys}
+            params_i = {k: params[k] for k in part[i]}
+            if collect is not None:
+                collect.setdefault("fwd", []).append(
+                    (snap(params_i), snap(cin), snap(seg_keys[i])))
+            if save_residuals:
+                cout, res = seg_fwd[i](params_i, cin, seg_keys[i])
+                residuals.append(res)
+                inputs.append(None)
+            else:
+                inputs.append(cin)
+                cout = seg_fwd[i](params_i, cin, seg_keys[i])
+            cur = dict(cout)
+            for k in out_keys:
+                if k.startswith("skip"):
+                    skips[k] = cur.pop(k)
+
+        logits = cur["tokens"]
+        if collect is not None:
+            collect["loss"] = (snap(logits), snap(targets))
+        loss, g_logits, msums = loss_jit(logits, targets)
+
+        g_tokens = g_logits
+        g_skips: Dict[str, Any] = {}
+        grads: Dict[str, Any] = {}
+        for i in reversed(range(n_seg)):
+            name = seg_names[i]
+            in_keys, out_keys = _SEG_IO[name]
+            g_out = {k: (g_tokens if k == "tokens" else g_skips.pop(k))
+                     for k in out_keys}
+            if save_residuals:
+                if collect is not None:
+                    collect.setdefault("bwd", []).insert(
+                        0, (snap(residuals[i]), snap(g_out)))
+                gp, g_in = seg_bwd[i](residuals[i], g_out)
+                residuals[i] = None  # donated
+            else:
+                params_i = {k: params[k] for k in part[i]}
+                if collect is not None:
+                    collect.setdefault("bwd", []).insert(
+                        0, (snap(params_i), snap(inputs[i]),
+                            snap(seg_keys[i]), snap(g_out)))
+                gp, g_in = seg_bwd[i](params_i, inputs[i], seg_keys[i],
+                                      g_out)
+                inputs[i] = None  # donated
+            for k in in_keys:
+                if k.startswith("skip"):
+                    g_skips[k] = g_in[k]
+                else:
+                    g_tokens = g_in[k]
+            grads.update(gp)
+        return grads, loss, msums
 
     def step(state, images_u8, masks_u8, rng):
         assert state.batch_stats is None, \
             "segmented step supports LayerNorm models (CSWin) only"
-        images, targets = prep_jit(images_u8, masks_u8)
         part = _part_for(state.params)
         keys = make_keys_jit(rng)
 
-        # forward: keep each segment's INPUT carry for the backward pass
-        carries = [{"x": images}]
-        for i, f in enumerate(seg_fwd):
-            params_i = {k: state.params[k] for k in part[i]}
-            carries.append(f(params_i, carries[-1], keys[i]))
-
-        logits = carries[-1]["tokens"]
-        loss, g_logits, dice, iou = loss_jit(logits, targets)
-
-        # backward: reverse vjp chain, one segment resident at a time
-        g_carry = {"tokens": g_logits}
-        grads: Dict[str, Any] = {}
-        for i in reversed(range(len(segments))):
-            params_i = {k: state.params[k] for k in part[i]}
-            gp, g_carry = seg_bwd[i](params_i, carries[i], keys[i], g_carry)
-            carries[i] = None  # donated
-            grads.update(gp)
+        if accum == 1:
+            k_aug, seg_keys = keys[0], keys[1:]
+            images, targets = prep_jit(images_u8, masks_u8, k_aug)
+            grads, loss, msums = run_chain(state.params, part, images,
+                                           targets, seg_keys)
+        else:
+            batch = images_u8.shape[0]
+            if batch % accum:
+                raise ValueError(
+                    f"segmented grad_accum needs batch % accum == 0 "
+                    f"(got {batch} % {accum})")
+            mb = batch // accum
+            acc = None
+            for a in range(accum):
+                sl = slice(a * mb, (a + 1) * mb)
+                images, targets = prep_jit(images_u8[sl], masks_u8[sl],
+                                           keys[a])
+                seg_keys = keys[accum + a * n_seg:accum + (a + 1) * n_seg]
+                grads, loss, msums = run_chain(state.params, part, images,
+                                               targets, seg_keys)
+                new = (grads, loss, msums)
+                acc = new if acc is None else acc_add_jit(acc, new)
+            grads, loss, msums = acc_scale_jit(acc)
 
         state = update_jit(state, grads)
+        dice, iou = _metrics_from_sums(msums if accum == 1 else
+                                       msums * accum)
         return state, {"loss": loss, "dice": dice, "iou": iou}
+
+    def eval_step(state, images_u8, masks_u8):
+        """Forward-only chain (deterministic, augment-free — reference eval
+        semantics), same metric formulas as ``make_eval_step`` — the
+        monolithic eval graph is compile-bounded at 2048^2 exactly like
+        the train graph."""
+        assert state.batch_stats is None
+        images, targets = prep_eval_jit(images_u8, masks_u8)
+        part = _part_for(state.params)
+        key = jax.random.PRNGKey(0)  # unused: deterministic forward
+        if rep is not None:
+            key = jax.device_put(key, rep)
+        cur = {"x": images}
+        skips = {}
+        for i, name in enumerate(seg_names):
+            in_keys, out_keys = _SEG_IO[name]
+            cin = {k: (cur.pop(k) if k in cur else skips.pop(k))
+                   for k in in_keys}
+            params_i = {k: state.params[k] for k in part[i]}
+            cur = dict(_eval_seg[i](params_i, cin, key))
+            for k in out_keys:
+                if k.startswith("skip"):
+                    skips[k] = cur.pop(k)
+        return loss_metrics_jit(cur["tokens"], targets)
+
+    _eval_seg = []
+    for name, run in segments:
+        # deterministic=True: eval disables every stochastic layer
+        def efwd(params, carry, key, _run=run):
+            return _run({"params": params}, carry, True, {"dropout": key})
+        efwd.__name__ = f"seg_{name}_eval"  # see the naming note above
+        if use_shard_map:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def bspec(k):
+                return P("data", None, None, None) if k == "x" \
+                    else P("data", None, None)
+
+            in_keys, out_keys = _SEG_IO[name]
+            cin_spec = {k: bspec(k) for k in in_keys}
+            cout_spec = {k: bspec(k) for k in out_keys}
+
+            def efwd_sm(params, carry, key, _f=efwd, _ci=cin_spec,
+                        _co=cout_spec):
+                return shard_map(
+                    _f, mesh=mesh, in_specs=(P(), _ci, P()),
+                    out_specs=_co, check_vma=False)(params, carry, key)
+            efwd_sm.__name__ = f"seg_{name}_evalsm"
+            _eval_seg.append(jax.jit(efwd_sm))
+        else:
+            _eval_seg.append(jax.jit(efwd))
+
+    def loss_metrics(logits, targets):
+        loss = segmentation_loss(logits, targets, n_classes)
+        msums = _metric_sums(logits, targets, n_classes)
+        dice, iou = _metrics_from_sums(msums)
+        return {"loss": loss, "dice": dice, "iou": iou}
+
+    loss_metrics_jit = jax.jit(loss_metrics)
 
     def cost_flops(state, images_u8, masks_u8, rng):
         """Summed XLA cost-analysis FLOPs of the chain's compiled programs
-        (VERDICT r03 #3: the segmented path previously reported no MFU).
+        (VERDICT r03 #3 / r04 #3).
 
-        ``useful``: prep + loss + optimizer + sum(seg_bwd) — each segment's
-        vjp program computes its forward AND backward exactly once, so this
-        sum is the standard fwd+bwd MFU numerator WITHOUT the chain's
-        recompute overhead.  ``executed`` adds the forward chain (whose
-        work the backward recomputes) — the flops the device actually runs.
-        Lowering uses bare ShapeDtypeStructs (no data, no shardings): on a
-        single device every program was already compiled by the warmup
-        step so this costs cache hits only; under a DP mesh the SPMD
-        programs have different HLO, so calling this would trigger fresh
-        unsharded compiles — callers gate on single-device (bench.py
-        does).
+        Executes one real fwd+bwd chain, snapshotting every program's
+        concrete argument shape/dtype/SHARDING structs, then lowers each
+        program from those structs — so under a DP mesh this hits the
+        exact warmed SPMD programs (no fresh unsharded compiles, the
+        round-4 blocker for segmented+DP MFU) and the per-device flops are
+        scaled back to global by the mesh size.
+
+        ``useful``: prep + loss + optimizer + one fwd + one bwd — the
+        standard fwd+bwd MFU numerator.  ``executed``: what the device
+        actually runs per step.  With ``save_residuals=True`` the backward
+        replays nothing, so executed == useful; recompute mode adds the
+        forward chain again (each vjp program re-runs its forward).
 
         NB: meaningless under ``scan_stages`` — XLA cost analysis counts a
         scan body once regardless of trip count (the round-2 scan-MFU
         undercount); callers must gate on ``not model.scan_stages``.
         """
-        def sds(x):
-            return jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), x)
+        if accum != 1:
+            raise ValueError("cost_flops supports grad_accum == 1")
 
         def flops_of(jf, *args):
             c = jf.lower(*args).compile().cost_analysis()
@@ -489,24 +742,41 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                 c = c[0]
             return float((c or {}).get("flops", 0.0) or 0.0)
 
-        part = segment_param_keys(state.params, segments)
-        key_s = sds(jax.eval_shape(
-            lambda r: jax.random.split(r)[1], rng))
-        img_s, tgt_s = jax.eval_shape(prep, sds(images_u8), sds(masks_u8))
-        useful = flops_of(prep_jit, sds(images_u8), sds(masks_u8))
-        fwd_extra = 0.0
-        carry = {"x": img_s}
-        for i, (name, run) in enumerate(segments):
-            params_s = {k: sds(state.params[k]) for k in part[i]}
-            carry_next = jax.eval_shape(seg_fwd[i], params_s, carry, key_s)
-            fwd_extra += flops_of(seg_fwd[i], params_s, carry, key_s)
-            # cotangent of the segment output has the output's shapes
-            useful += flops_of(seg_bwd[i], params_s, carry, key_s,
-                               carry_next)
-            carry = carry_next
-        useful += flops_of(loss_jit, carry["tokens"], tgt_s)
-        useful += flops_of(update_jit, sds(state), sds(state.params))
-        return {"useful": useful, "executed": useful + fwd_extra}
+        def snap(tree):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding), tree)
+
+        part = _part_for(state.params)
+        keys = make_keys_jit(rng)
+        k_aug, seg_keys = keys[0], keys[1:]
+        images, targets = prep_jit(images_u8, masks_u8, k_aug)
+        ctx: Dict[str, Any] = {}
+        run_chain(state.params, part, images, targets, seg_keys,
+                  collect=ctx)
+
+        useful = flops_of(prep_jit, snap(images_u8), snap(masks_u8),
+                          snap(k_aug))
+        useful += flops_of(loss_jit, *ctx["loss"])
+        # grads share the params' tree/shape/sharding (replicated under DP)
+        useful += flops_of(update_jit, snap(state), snap(state.params))
+        fwd_flops = sum(flops_of(seg_fwd[i], *ctx["fwd"][i])
+                        for i in range(n_seg))
+        bwd_flops = sum(flops_of(seg_bwd[i], *ctx["bwd"][i])
+                        for i in range(n_seg))
+        if save_residuals:
+            # fwd programs hold the forward (with residual emission), bwd
+            # programs only the backward — no recompute anywhere
+            useful += fwd_flops + bwd_flops
+            executed = useful
+        else:
+            # each vjp program recomputes its forward internally: useful
+            # counts fwd+bwd once (inside seg_bwd); the separate forward
+            # chain is pure recompute overhead
+            useful += bwd_flops
+            executed = useful + fwd_flops
+        scale = float(n_dev)  # SPMD cost analysis reports per-device flops
+        return {"useful": useful * scale, "executed": executed * scale}
 
     step.eval_step = eval_step
     step.cost_flops = cost_flops

@@ -64,14 +64,21 @@ def test_segmented_forward_matches_monolithic(scan_stages):
     want = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))(
         state.params, images)
 
+    from cswin_simam_unet_tpu.train.segmented import _SEG_IO
     segments = build_segments(model)
     part = segment_param_keys(state.params, segments)
-    carry = {"x": images}
+    cur, skips = {"x": images}, {}
     for (name, run), keys in zip(segments, part):
+        in_keys, out_keys = _SEG_IO[name]
+        cin = {k: (cur.pop(k) if k in cur else skips.pop(k))
+               for k in in_keys}
         params_i = {k: state.params[k] for k in keys}
-        carry = run({"params": params_i}, carry, True,
-                    {"dropout": jax.random.PRNGKey(0)})
-    got = carry["tokens"]
+        cur = dict(run({"params": params_i}, cin, True,
+                       {"dropout": jax.random.PRNGKey(0)}))
+        for k in out_keys:
+            if k.startswith("skip"):
+                skips[k] = cur.pop(k)
+    got = cur["tokens"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
@@ -212,6 +219,133 @@ def test_segmented_data_parallel_matches_single_device():
                             jax.device_put(jnp.asarray(masks_u8), bs))
     for k in ("loss", "dice", "iou"):
         assert float(ev_b[k]) == pytest.approx(float(ev_a[k]), abs=1e-5), k
+
+
+def test_segmented_recompute_mode_matches_residual_mode():
+    """save_residuals=False (the O(one-segment)-memory recompute chain)
+    computes the identical step to the default residual-saving chain —
+    both match the monolithic step when stochastic layers are inert."""
+    model = _model()
+    images_u8, masks_u8 = _data()
+    rng = jax.random.PRNGKey(7)
+
+    outs = []
+    for save in (True, False):
+        st = _state(model)
+        seg = make_segmented_train_step(model, n_classes=1,
+                                        donate_state=False,
+                                        save_residuals=save)
+        new, metrics = seg(st, jnp.asarray(images_u8),
+                           jnp.asarray(masks_u8), rng)
+        outs.append((new, metrics))
+    (new_a, m_a), (new_b, m_b) = outs
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), abs=1e-6)
+    la = jax.tree_util.tree_leaves(jax.device_get(new_a.params))
+    lb = jax.tree_util.tree_leaves(jax.device_get(new_b.params))
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(la, lb))
+    assert worst < 1e-6, f"residual vs recompute params deviate by {worst}"
+
+
+def test_segmented_augment_matches_monolithic():
+    """Segmented + on-device augmentation (VERDICT r04 #5): with dropout
+    inert, the augment streams are keyed identically (k_aug = first split
+    of rng, as in the monolithic step), so the steps must agree."""
+    from cswin_simam_unet_tpu.data.augment import AugmentConfig
+    model = _model()
+    images_u8, masks_u8 = _data()
+    rng = jax.random.PRNGKey(11)
+    aug = AugmentConfig()
+
+    state_a = _state(model)
+    mono = make_train_step(model, n_classes=1, augment=aug, donate=False)
+    new_a, m_a = mono(state_a, jnp.asarray(images_u8),
+                      jnp.asarray(masks_u8), rng)
+
+    state_b = _state(model)
+    seg = make_segmented_train_step(model, n_classes=1, augment=aug,
+                                    donate_state=False)
+    new_b, m_b = seg(state_b, jnp.asarray(images_u8),
+                     jnp.asarray(masks_u8), rng)
+
+    for k in ("loss", "dice", "iou"):
+        assert float(m_b[k]) == pytest.approx(float(m_a[k]), abs=1e-5), k
+    la = {jax.tree_util.keystr(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(jax.device_get(new_b.params))}
+    worst = 0.0
+    for path, a in jax.tree_util.tree_leaves_with_path(
+            jax.device_get(new_a.params)):
+        worst = max(worst, float(np.max(np.abs(
+            a - la[jax.tree_util.keystr(path)]))))
+    assert worst < 5e-6, f"augmented params deviate by {worst}"
+
+
+def test_segmented_grad_accum_matches_plain():
+    """Segmented grad_accum=2 (VERDICT r04 #5) == the plain segmented step
+    (per-sample losses are independent, so the mean-of-micro-grads equals
+    the full-batch gradient exactly) when stochastic layers are inert."""
+    model = _model()
+    images_u8, masks_u8 = _data(batch=4)
+    rng = jax.random.PRNGKey(5)
+
+    state_a = _state(model)
+    seg1 = make_segmented_train_step(model, n_classes=1,
+                                     donate_state=False)
+    new_a, m_a = seg1(state_a, jnp.asarray(images_u8),
+                      jnp.asarray(masks_u8), rng)
+
+    state_b = _state(model)
+    seg2 = make_segmented_train_step(model, n_classes=1, grad_accum=2,
+                                     donate_state=False)
+    new_b, m_b = seg2(state_b, jnp.asarray(images_u8),
+                      jnp.asarray(masks_u8), rng)
+
+    for k in ("loss", "dice", "iou"):
+        assert float(m_b[k]) == pytest.approx(float(m_a[k]), abs=2e-5), k
+    la = jax.tree_util.tree_leaves(jax.device_get(new_a.params))
+    lb = jax.tree_util.tree_leaves(jax.device_get(new_b.params))
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(la, lb))
+    assert worst < 5e-6, f"grad-accum params deviate by {worst}"
+
+    with pytest.raises(ValueError, match="batch % accum"):
+        seg3 = make_segmented_train_step(model, n_classes=1, grad_accum=3,
+                                         donate_state=False)
+        seg3(_state(model), jnp.asarray(images_u8), jnp.asarray(masks_u8),
+             rng)
+
+
+def test_segmented_cost_flops_dp_matches_single_device():
+    """cost_flops under a DP mesh (VERDICT r04 #3): lowered from concrete
+    sharding snapshots, scaled by the mesh size — the global numbers must
+    match the single-device chain's to first order."""
+    from cswin_simam_unet_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        shard_state,
+    )
+    model = _model()
+    images_u8, masks_u8 = _data(batch=8)
+    rng = jax.random.PRNGKey(3)
+
+    seg = make_segmented_train_step(model, n_classes=1, donate_state=False)
+    st = _state(model)
+    seg(st, jnp.asarray(images_u8), jnp.asarray(masks_u8), rng)
+    c1 = seg.cost_flops(st, jnp.asarray(images_u8), jnp.asarray(masks_u8),
+                        rng)
+
+    mesh = make_mesh((8,), ("data",))
+    st_dp = shard_state(_state(model), mesh)
+    bs = batch_sharding(mesh, 4)
+    seg_dp = make_segmented_train_step(model, n_classes=1,
+                                       donate_state=False, mesh=mesh)
+    im = jax.device_put(jnp.asarray(images_u8), bs)
+    mk = jax.device_put(jnp.asarray(masks_u8), bs)
+    seg_dp(st_dp, im, mk, rng)
+    c8 = seg_dp.cost_flops(st_dp, im, mk, rng)
+
+    assert c1["useful"] > 0 and c8["useful"] > 0
+    # collectives add a little; partitioning quantisation removes a little
+    assert 0.8 < c8["useful"] / c1["useful"] < 1.25
+    assert 0.8 < c8["executed"] / c1["executed"] < 1.25
 
 
 def test_segmented_cost_flops_orders():

@@ -35,38 +35,65 @@ def make_serving_fn(model, variables):
     return serve
 
 
+# bundle container magic for the fixed-batch-set artifact (Pallas path)
+_BUNDLE_MAGIC = b"CSWINSERVB1\x00"
+
+
 def export_serving(model, variables, batch_size: int | None, image_size: int,
                    in_channels: int = 3,
-                   platforms: tuple[str, ...] | None = None) -> bytes:
+                   platforms: tuple[str, ...] | None = None,
+                   bundle_batch_sizes: tuple[int, ...] = (1, 2, 4, 8),
+                   bundle: bool | None = None) -> bytes:
     """Export the serving fn; returns the serialized bytes (weights
     included as module constants).
 
-    ``batch_size=None`` exports with a SYMBOLIC batch dimension — one
-    artifact serves any batch size (jax.export shape polymorphism).  Only
-    the XLA compute path is batch-polymorphic; models built with
-    ``use_pallas=True`` have batch-dependent Pallas grids and must export
-    at fixed batch sizes (the XLA path computes identical values).
+    ``batch_size=None`` exports a batch-polymorphic artifact.  On the XLA
+    path that is one module with a SYMBOLIC batch dimension (jax.export
+    shape polymorphism).  Models built with ``use_pallas=True`` have
+    batch-dependent Pallas grids (each custom-call's grid/window specs are
+    concretised at trace time, and jax.export refuses symbolic dims that
+    reach a custom call), so the polymorphic artifact is instead a BUNDLE
+    of fixed-batch modules at ``bundle_batch_sizes``; ``load_serving``
+    transparently dispatches each request to the smallest bundled batch
+    that fits (padding the tail) and chunks requests larger than the
+    biggest bundled size — VERDICT r04 #7.
     """
     from jax import export as jax_export
 
     serve = make_serving_fn(model, variables)
-    if batch_size is None:
-        if getattr(model, "use_pallas", False):
-            raise ValueError(
-                "batch-polymorphic export requires the XLA path: rebuild "
-                "the model with use_pallas=False (identical values), or "
-                "export fixed batch sizes")
-        (b,) = jax_export.symbolic_shape("b")
-        batch_dim = b
-    else:
-        batch_dim = batch_size
-    spec = jax.ShapeDtypeStruct(
-        (batch_dim, image_size, image_size, in_channels), jnp.uint8)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax_export.export(jax.jit(serve), **kwargs)(spec)
-    return exported.serialize()
+
+    def export_at(batch_dim) -> bytes:
+        spec = jax.ShapeDtypeStruct(
+            (batch_dim, image_size, image_size, in_channels), jnp.uint8)
+        exported = jax_export.export(jax.jit(serve), **kwargs)(spec)
+        return exported.serialize()
+
+    # bundle=None: auto — Pallas models must bundle (symbolic dims cannot
+    # reach a custom call), XLA models prefer the single symbolic module;
+    # pass bundle=True to force the bundle container on the XLA path too.
+    use_bundle = bundle if bundle is not None \
+        else bool(getattr(model, "use_pallas", False))
+    if batch_size is None and use_bundle:
+        import json as _json
+        sizes = tuple(sorted(set(int(b) for b in bundle_batch_sizes)))
+        if not sizes:
+            raise ValueError("bundle_batch_sizes must be non-empty")
+        blobs = [export_at(b) for b in sizes]
+        header = _json.dumps({"batch_sizes": list(sizes)}).encode()
+        out = [_BUNDLE_MAGIC,
+               len(header).to_bytes(8, "little"), header]
+        for blob in blobs:
+            out.append(len(blob).to_bytes(8, "little"))
+            out.append(blob)
+        return b"".join(out)
+
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+        return export_at(b)
+    return export_at(batch_size)
 
 
 def save_serving(path: str, blob: bytes) -> None:
@@ -83,7 +110,47 @@ def load_serving(path: str):
     from jax import export as jax_export
 
     with open(path, "rb") as f:
-        exported = jax_export.deserialize(f.read())
+        blob = f.read()
+
+    if blob.startswith(_BUNDLE_MAGIC):
+        import json as _json
+        off = len(_BUNDLE_MAGIC)
+        hlen = int.from_bytes(blob[off:off + 8], "little")
+        off += 8
+        header = _json.loads(blob[off:off + hlen].decode())
+        off += hlen
+        sizes = header["batch_sizes"]
+        modules = {}
+        for b in sizes:
+            blen = int.from_bytes(blob[off:off + 8], "little")
+            off += 8
+            modules[b] = jax_export.deserialize(blob[off:off + blen])
+            off += blen
+        max_b = max(sizes)
+
+        def call_padded(chunk):
+            """Run one chunk (<= max bundled size) on the smallest module
+            that fits, zero-padding the tail and slicing it back off."""
+            n = chunk.shape[0]
+            b = next(s for s in sizes if s >= n)
+            if n < b:
+                pad = np.zeros((b - n,) + tuple(chunk.shape[1:]),
+                               dtype=np.uint8)
+                chunk = jnp.concatenate([jnp.asarray(chunk), pad], axis=0)
+            return modules[b].call(chunk)[:n]
+
+        def serve_bundle(images_u8):
+            images_u8 = _coerce_uint8(images_u8)
+            n = images_u8.shape[0]
+            if n <= max_b:
+                return call_padded(images_u8)
+            outs = [call_padded(images_u8[i:i + max_b])
+                    for i in range(0, n, max_b)]
+            return jnp.concatenate(outs, axis=0)
+
+        return serve_bundle
+
+    exported = jax_export.deserialize(blob)
 
     def serve(images_u8):
         images_u8 = _coerce_uint8(images_u8)
@@ -98,7 +165,16 @@ def _coerce_uint8(images):
     in [0, 1], so a caller handing those here would previously get an
     all-0/1 cast and garbage probabilities.  Floats in [0, 1] are rescaled
     to the 0-255 range the artifact expects; other float ranges must be
-    integer-valued (0-255 pixel values stored as float) or are rejected."""
+    integer-valued (0-255 pixel values stored as float) or are rejected.
+
+    Known ambiguity (documented trade-off): a float input whose values all
+    happen to lie in [0, 1] but are genuinely 0-255-scale pixels (e.g. a
+    binary image stored as float 0.0/1.0) is indistinguishable from a
+    normalised input by value range alone and is treated as normalised
+    (rescaled x255).  Pass uint8 (or pre-scale to 0-255 floats) to state
+    intent explicitly; device-resident non-uint8 inputs also pay up to
+    three blocking host syncs here, so uint8 is the fast path in every
+    sense."""
     if isinstance(images, jax.Array):
         if images.dtype == jnp.uint8:
             return images

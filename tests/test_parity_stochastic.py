@@ -62,7 +62,8 @@ def _dice_np(probs, targets, eps=1e-6):
 
 
 def _run_torch(seed, train_batches, eval_images, eval_masks,
-               img=None, depth=None, split=None, heads=None):
+               img=None, depth=None, split=None, heads=None,
+               head_scale=None, steps_lr=None):
     img, depth = img or IMG, depth or DEPTH
     split, heads = split or SPLIT, heads or HEADS
     mod = load_reference("cswin")
@@ -72,8 +73,16 @@ def _run_torch(seed, train_batches, eval_images, eval_masks,
         depth=list(depth), split_size=list(split), num_heads=list(heads),
         mlp_ratio=4.0, qkv_bias=True, drop_rate=DROP, attn_drop_rate=DROP,
         drop_path_rate=DROP)
+    if head_scale is not None:
+        # amplify the bias-free 1x1 head (ref :603) so sigmoid outputs
+        # saturate away from the 0.5 threshold: Dice then has signal from
+        # step 0 instead of being degenerate-0 at short-run flagship scale
+        # (VERDICT r04 #6's "init scaled so sigmoid outputs cross 0.5")
+        with torch.no_grad():
+            ref.output.weight.mul_(head_scale)
     sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
-    opt = torch.optim.AdamW(ref.parameters(), lr=LR, weight_decay=WD)
+    opt = torch.optim.AdamW(ref.parameters(), lr=steps_lr or LR,
+                            weight_decay=WD)
     crit = torch.nn.BCELoss()
     ref.train()
     for img_u8, mask_u8 in train_batches:
@@ -98,7 +107,7 @@ def _run_torch(seed, train_batches, eval_images, eval_masks,
 
 
 def _run_ours(sd, seed, train_batches, eval_images, eval_masks,
-              img=None, depth=None, split=None, heads=None):
+              img=None, depth=None, split=None, heads=None, steps_lr=None):
     img, depth = img or IMG, depth or DEPTH
     split, heads = split or SPLIT, heads or HEADS
     variables = import_cswin_state_dict(sd, depth=depth)
@@ -107,7 +116,8 @@ def _run_ours(sd, seed, train_batches, eval_images, eval_masks,
                       drop_rate=DROP, attn_drop_rate=DROP,
                       drop_path_rate=DROP)
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               (1, img, img, 3), "adamw", LR, WD)
+                               (1, img, img, 3), "adamw", steps_lr or LR,
+                               WD)
     state = state.replace(
         params=jax.tree_util.tree_map(jnp.asarray, variables["params"]))
     step = make_train_step(model, n_classes=1, augment=None, donate=False)
@@ -200,3 +210,53 @@ def test_stochastic_recipe_statistical_parity_flagship():
         d_spread = max(float(np.std(refs)), float(np.std(ours)), 1e-4)
         assert dice_gap < 3e-3 or dice_gap < 2 * d_spread + 1e-3, (
             ours, refs)
+
+
+@pytest.mark.slow
+def test_flagship_geometry_dice_parity_default_suite():
+    """VERDICT r04 #6: flagship-GEOMETRY Dice parity in the DEFAULT suite.
+
+    224^2, depth (1,2,9,1), heads (2,4,8,16), split (1,2,7,7), drop 0.3 —
+    the exact geometry the reference ships — with the 1x1 head amplified
+    (x30, same shared weights in both frameworks) so sigmoid outputs
+    saturate past the 0.5 threshold and Dice is non-degenerate from step 0
+    (the env-gated 45-min flagship run showed Dice is 0-for-both at short
+    runs from raw init; BASELINE.md round 4).  3 seeds x 4 recipe steps per
+    framework keeps this affordable on the 1-core CPU host; the
+    discriminating gate is the mean eval-Dice gap at the 0.3% north-star
+    band (BASELINE.json).
+    """
+    img, depth = 224, (1, 2, 9, 1)
+    split, heads = (1, 2, 7, 7), (2, 4, 8, 16)
+    seeds, steps, batch = 3, 4, 2
+    eval_images, eval_masks = _synthetic_task(4, seed=999, img=img)
+    ours, refs = [], []
+    for seed in range(seeds):
+        tr_imgs, tr_masks = _synthetic_task(batch * steps, seed=seed,
+                                            img=img)
+        batches = [(tr_imgs[i * batch:(i + 1) * batch],
+                    tr_masks[i * batch:(i + 1) * batch])
+                   for i in range(steps)]
+        sd, ref_dice, ref_loss = _run_torch(
+            seed, batches, eval_images, eval_masks,
+            img=img, depth=depth, split=split, heads=heads, head_scale=30.0)
+        our_dice, our_loss = _run_ours(
+            sd, seed, batches, eval_images, eval_masks,
+            img=img, depth=depth, split=split, heads=heads)
+        refs.append(ref_dice)
+        ours.append(our_dice)
+        print(f"flagship-geom seed {seed}: ref dice {ref_dice:.4f} "
+              f"(loss {ref_loss:.4f}) ours {our_dice:.4f} "
+              f"(loss {our_loss:.4f})", flush=True)
+
+    m_ref, m_our = float(np.mean(refs)), float(np.mean(ours))
+    s_ref, s_our = float(np.std(refs)), float(np.std(ours))
+    print(f"flagship-geometry dice parity: ref {m_ref:.4f}+-{s_ref:.4f} "
+          f"ours {m_our:.4f}+-{s_our:.4f} gap {abs(m_our - m_ref):.5f}",
+          flush=True)
+    # Dice must be non-degenerate (the head scaling worked) ...
+    assert m_ref > 0.05 and m_our > 0.05, (refs, ours)
+    # ... and agree at the 0.3% north-star band (up to seed noise)
+    gap = abs(m_our - m_ref)
+    spread = max(s_ref, s_our, 1e-4)
+    assert gap < 3e-3 + 2 * spread, (refs, ours, gap, spread)

@@ -112,14 +112,28 @@ def test_export_batch_polymorphic(tmp_path):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_export_batch_polymorphic_rejects_pallas():
-    model = CSWinUNet(img_size=32, embed_dim=16, depth=(1, 1, 1, 1),
-                      split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2),
-                      use_simam=True, use_pallas=True)
-    variables = jax.jit(lambda r: model.init(
-        r, jnp.zeros((1, 32, 32, 3)), train=False))(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="polymorphic"):
-        export_serving(model, variables, batch_size=None, image_size=32)
+def test_export_batch_polymorphic_bundle(tmp_path):
+    """The bundle container (VERDICT r04 #7 — what ``batch_size=None``
+    produces for ``use_pallas=True`` models, whose grids concretise at
+    trace time): fixed-batch modules + load-time dispatch must serve ANY
+    batch — padding up to the smallest bundled size that fits and chunking
+    beyond the largest — with probabilities equal to in-process predict.
+    Exercised here on the XLA path via ``bundle=True`` (identical
+    container/dispatch machinery; the Pallas-model auto-bundle export runs
+    in the TPU-gated suite, tests/test_tpu_numerics.py)."""
+    model, variables = _tiny_cswin()
+    blob = export_serving(model, variables, batch_size=None, image_size=32,
+                          bundle_batch_sizes=(2, 4), bundle=True)
+    path = tmp_path / "bundle.stablehlo"
+    save_serving(str(path), blob)
+    serve = load_serving(str(path))
+    rs = np.random.RandomState(0)
+    for b in (1, 2, 3, 4, 9):  # pad, exact, pad, exact, chunk+pad
+        x = rs.randint(0, 256, (b, 32, 32, 3), dtype=np.uint8)
+        got = np.asarray(serve(x))
+        want = np.asarray(make_serving_fn(model, variables)(jnp.asarray(x)))
+        assert got.shape == want.shape == (b, 32, 32, 1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def test_coerce_uint8_guards():

@@ -246,3 +246,104 @@ def test_flash_attention_on_tpu(H, W, hsp, wsp):
             q, k, v, kernel)
     for a, b, name in zip(g_pl, g_hi, ("dq", "dk", "dv", "dlepe")):
         assert _rel_err(a, b) < 1e-2, f"{name} mismatch on TPU"
+
+
+def test_pallas_bundle_export_on_tpu(tmp_path):
+    """``export_serving(batch_size=None)`` on a use_pallas=True model
+    (VERDICT r04 #7): auto-bundles fixed-batch modules whose Mosaic
+    custom calls lower for real, and the loaded dispatcher pads/chunks any
+    request batch to match in-process predict."""
+    from cswin_simam_unet_tpu.models import CSWinUNet
+    from cswin_simam_unet_tpu.serving import (
+        export_serving,
+        load_serving,
+        make_serving_fn,
+        save_serving,
+    )
+    model = CSWinUNet(img_size=64, embed_dim=16, depth=(1, 1, 1, 1),
+                      split_size=(1, 2, 2, 2), num_heads=(2, 2, 2, 2),
+                      use_simam=True, use_pallas=True, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
+    blob = export_serving(model, variables, batch_size=None, image_size=64,
+                          bundle_batch_sizes=(1, 2))
+    path = str(tmp_path / "pallas_bundle.stablehlo")
+    save_serving(path, blob)
+    serve = load_serving(path)
+    rs = np.random.RandomState(0)
+    for b in (1, 2, 5):  # exact, exact, chunk+pad
+        x = rs.randint(0, 256, (b, 64, 64, 3), dtype=np.uint8)
+        got = np.asarray(serve(x))
+        want = np.asarray(make_serving_fn(model, variables)(
+            jnp.asarray(x)))
+        assert got.shape == want.shape == (b, 64, 64, 1)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_dropout_on_tpu():
+    """ADVICE r04: the flash kernel's in-kernel PRNG dropout path had zero
+    hardware coverage while the shipped 2048^2 config trains through it.
+    Three gates at attn_drop=0.3 on the 4096-token global window (the
+    exact stage-4 geometry that dispatches here):
+
+    1. fixed seed -> bitwise-deterministic resample; different seed (and
+       dropout-free) -> different output;
+    2. finite-difference directional derivative of the custom VJP at a
+       fixed seed — passes ONLY if the fwd/dq/dkv kernels regenerate
+       identical keep masks (a divergence would silently bias gradients);
+    3. unbiasedness: the seed-mean of the dropped forward converges to the
+       dropout-free forward (inverted-dropout scaling is right in the
+       hardware lowering, not just interpret mode).
+    """
+    from cswin_simam_unet_tpu.ops.pallas_attention_flash import (
+        stripe_attention_pallas_flash,
+    )
+    H, W, hsp, wsp = 64, 64, 64, 64  # one 4096-token global window
+    B, C, heads = 1, 32, 2
+    q, k, v = (_rand((B, H * W, C), s, 0.5) for s in (0, 1, 2))
+    kernel = _rand((3, 3, 1, C), 3, 0.2)
+    kw = dict(H=H, W=W, hsp=hsp, wsp=wsp, num_heads=heads)
+    drop_kw = dict(attn_drop=0.3, deterministic=False, **kw)
+
+    flash = stripe_attention_pallas_flash
+    run = jax.jit(lambda q, k, v, kernel, key: flash(
+        q, k, v, kernel, dropout_rng=key, **drop_kw))
+
+    key7 = jax.random.PRNGKey(7)
+    out_a = run(q, k, v, kernel, key7)
+    out_b = run(q, k, v, kernel, key7)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    out_c = run(q, k, v, kernel, jax.random.PRNGKey(8))
+    out_free = jax.jit(lambda q, k, v, kernel: flash(
+        q, k, v, kernel, **kw))(q, k, v, kernel)
+    assert _rel_err(out_a, out_c) > 1e-3
+    assert _rel_err(out_a, out_free) > 1e-3
+
+    # 2. directional derivative vs central finite difference at fixed seed
+    def f(q, k, v, kernel):
+        return jnp.sum(jnp.sin(flash(q, k, v, kernel, dropout_rng=key7,
+                                     **drop_kw)))
+
+    f_jit = jax.jit(f)
+    grads = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(q, k, v, kernel)
+    rs = np.random.RandomState(11)
+    dirs = [jnp.asarray(rs.randn(*np.shape(a)).astype(np.float32))
+            for a in (q, k, v, kernel)]
+    eps = 2e-3
+    args_p = [a + eps * u for a, u in zip((q, k, v, kernel), dirs)]
+    args_m = [a - eps * u for a, u in zip((q, k, v, kernel), dirs)]
+    fd = (float(f_jit(*args_p)) - float(f_jit(*args_m))) / (2 * eps)
+    analytic = float(sum(jnp.vdot(g, u) for g, u in zip(grads, dirs)))
+    assert abs(fd - analytic) < 2e-2 * max(1.0, abs(analytic)), \
+        (fd, analytic)
+
+    # 3. unbiasedness over seeds (law of large numbers on the keep masks)
+    S = 192
+    acc = jnp.zeros_like(out_free)
+    base = jax.random.PRNGKey(100)
+    add = jax.jit(lambda acc, q, k, v, kernel, key: acc + flash(
+        q, k, v, kernel, dropout_rng=key, **drop_kw))
+    for s in range(S):
+        acc = add(acc, q, k, v, kernel, jax.random.fold_in(base, s))
+    mean = acc / S
+    assert _rel_err(mean, out_free) < 0.08

@@ -286,6 +286,18 @@ def main():
                         "monolithic jit — bounds compile memory/time for "
                         "very large images (2048^2); single chip, train "
                         "mode, no augment/grad-accum")
+    p.add_argument("--seg-residuals", default="auto",
+                   choices=["auto", "save", "recompute"],
+                   help="with --segmented: per-segment residual policy "
+                        "(train/segmented.py) — 'auto' sizes each "
+                        "segment's vjp residuals abstractly and recomputes "
+                        "only what exceeds the HBM budget; 'save'/"
+                        "'recompute' force the uniform modes")
+    p.add_argument("--seg-split", type=int, default=0,
+                   help="with --segmented: chunk unscanned stages deeper "
+                        "than N blocks into <=N-block segments (finer "
+                        "residual grains for the auto policy; 3 is the "
+                        "2048^2 sweet spot — see BASELINE.md round 5)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient-accumulation micro-batches per optimizer "
                         "step (train mode): measures the accumulation "
@@ -394,7 +406,10 @@ def main():
                     else None
                 step = make_segmented_train_step(
                     model, n_classes=1, mesh=seg_mesh, augment=augment,
-                    grad_accum=args.grad_accum)
+                    grad_accum=args.grad_accum,
+                    save_residuals={"auto": "auto", "save": True,
+                                    "recompute": False}[args.seg_residuals],
+                    depth_split=args.seg_split)
             else:
                 step = make_train_step(model, n_classes=1, augment=augment,
                                        donate=True, grad_accum=args.grad_accum)

@@ -310,6 +310,7 @@ def run_train(args) -> int:
                     else cfg.grad_accum),
         segmented=(cfg.segmented if args.segmented is None
                    else args.segmented),
+        seg_depth_split=cfg.seg_depth_split,
         progress=not args.no_progress, log_every=args.log_every,
         tensorboard_dir=args.tensorboard_dir)
 

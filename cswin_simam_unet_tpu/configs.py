@@ -75,6 +75,10 @@ class TrainRunConfig:
     # memory/time for 2048^2-class images; composes with augment,
     # grad_accum and data_parallel (round 5)
     segmented: bool = False
+    # with segmented: chunk unscanned stages deeper than N blocks into
+    # <=N-block segments (finer residual grains for the auto save/
+    # recompute policy — train/segmented.py; 0 = one segment per stage)
+    seg_depth_split: int = 0
     # parallelism
     data_parallel: bool = True  # shard batch over all local devices
     checkpoint_dir: Optional[str] = None
@@ -169,8 +173,8 @@ CONFIGS = {
         model=_cswin_model(use_simam=True, split_size=(1, 2, 8, 8),
                            dtype="bfloat16", use_pallas=True),
         image_size=2048, batch_size=1, optimizer="adamw",
-        segmented=True, data_parallel=False, learning_rate=1e-4,
-        output_prefix="cswin_simam_2048"),
+        segmented=True, seg_depth_split=3, data_parallel=False,
+        learning_rate=1e-4, output_prefix="cswin_simam_2048"),
     # data-parallel variant (VERDICT r03 #4): the segmented chain runs
     # SPMD over a ('data',) mesh — batch sharded, per-segment grads
     # cross-device reduced inside each segment's vjp program
@@ -180,8 +184,8 @@ CONFIGS = {
         model=_cswin_model(use_simam=True, split_size=(1, 2, 8, 8),
                            dtype="bfloat16", use_pallas=True),
         image_size=2048, batch_size=8, optimizer="adamw",
-        segmented=True, data_parallel=True, learning_rate=1e-4,
-        output_prefix="cswin_simam_2048_dp"),
+        segmented=True, seg_depth_split=3, data_parallel=True,
+        learning_rate=1e-4, output_prefix="cswin_simam_2048_dp"),
 }
 
 

@@ -378,6 +378,9 @@ class FitConfig:
     # (2048^2).  CSWin models only; mutually exclusive with augment /
     # grad_accum / multi-device mesh.
     segmented: bool = False
+    # with segmented: chunk unscanned stages deeper than N blocks into
+    # <=N-block segments (train/segmented.py depth_split)
+    seg_depth_split: int = 0
     seed: int = 42
     log_every: int = 0  # batches; 0 = epoch-level only
     # Live in-epoch progress line (reference tqdm postfix Loss/Dice/IoU,
@@ -429,10 +432,10 @@ def fit(model, state: TrainState, train_loader, test_loader,
         from cswin_simam_unet_tpu.train.segmented import (
             make_segmented_train_step,
         )
-        train_step = make_segmented_train_step(model, cfg.n_classes,
-                                               mesh=mesh,
-                                               augment=cfg.augment,
-                                               grad_accum=cfg.grad_accum)
+        train_step = make_segmented_train_step(
+            model, cfg.n_classes, mesh=mesh, augment=cfg.augment,
+            grad_accum=cfg.grad_accum,
+            depth_split=getattr(cfg, "seg_depth_split", 0))
         # the monolithic eval graph is compile-bounded at 2048^2 too
         eval_step = train_step.eval_step
     else:

@@ -70,12 +70,15 @@ def _dpr_schedule(model: CSWinUNet):
 
 
 def _run_stage(m: CSWinUNet, tokens, s: int, prefix: str, last: bool,
-               deterministic: bool):
-    """Blocks of one stage — module names/kwargs identical to
-    ``CSWinUNet.__call__``'s ``run_stage`` so parameter subtrees are
-    interchangeable.  Must be called from inside a segment's compact
-    ``__call__`` (submodules bind to the calling scope)."""
+               deterministic: bool, lo: int = 0, hi: int | None = None):
+    """Blocks [lo, hi) of one stage (defaults: the whole stage) — module
+    names/kwargs identical to ``CSWinUNet.__call__``'s ``run_stage`` so
+    parameter subtrees are interchangeable.  Must be called from inside a
+    segment's compact ``__call__`` (submodules bind to the calling scope).
+    The scan path only applies to whole stages (stacked params cannot be
+    chunked); ``build_segments`` never chunks a scanned stage."""
     depth, dpr, starts = _dpr_schedule(m)
+    hi = depth[s] if hi is None else hi
     reso = m.img_size // (4 * 2 ** s)
     if m.remat == "dots":
         Block = nn.remat(CSWinBlock, static_argnums=(2,),
@@ -86,7 +89,7 @@ def _run_stage(m: CSWinUNet, tokens, s: int, prefix: str, last: bool,
         Block = CSWinBlock
     from cswin_simam_unet_tpu.models.cswin import scan_min_depth
     msd = scan_min_depth(m.scan_stages)
-    if msd is not None and depth[s] >= msd:
+    if msd is not None and depth[s] >= msd and lo == 0 and hi == depth[s]:
         dpr_s = jnp.asarray(dpr[starts[s]:starts[s] + depth[s]],
                             jnp.float32)
         tokens, _ = scan_blocks(
@@ -94,7 +97,7 @@ def _run_stage(m: CSWinUNet, tokens, s: int, prefix: str, last: bool,
             deterministic, m.remat, f"{prefix}_scan",
             unroll=m.scan_unroll)(tokens, dpr_s)
         return tokens
-    for i in range(depth[s]):
+    for i in range(lo, hi):
         tokens = Block(
             name=f"{prefix}_{i}",
             **m._block_kw(s, reso, dpr[starts[s] + i], last),
@@ -121,6 +124,9 @@ class _Embed(nn.Module):
 class _Encoder(nn.Module):
     cfg: Any
     stage: int  # 0..2: blocks + merge; emits the skip
+    lo: int = 0          # chunking (depth_split): block range [lo, hi)
+    hi: int | None = None
+    tail: bool = True    # final chunk: emit the skip + run the merge
 
     @nn.compact
     def __call__(self, tokens, deterministic: bool = True):
@@ -128,7 +134,9 @@ class _Encoder(nn.Module):
         s = self.stage
         reso = m.img_size // (4 * 2 ** s)
         tokens = _run_stage(m, tokens, s, f"stage{s + 1}", False,
-                            deterministic)
+                            deterministic, self.lo, self.hi)
+        if not self.tail:
+            return tokens
         skip = tokens
         tokens = MergeBlock(m.embed_dim * 2 ** (s + 1),
                             use_simam=m.use_simam, use_pallas=m.use_pallas,
@@ -151,21 +159,26 @@ class _Bottleneck(nn.Module):
 class _Decoder(nn.Module):
     cfg: Any
     stage: int  # 2,1,0: CARAFE up + skip concat + linear + blocks
+    lo: int = 0          # chunking (depth_split): block range [lo, hi)
+    hi: int | None = None
+    head: bool = True    # first chunk: CARAFE up + skip concat + linear
 
     @nn.compact
-    def __call__(self, tokens, skip, deterministic: bool = True):
+    def __call__(self, tokens, skip=None, deterministic: bool = True):
         m = self.cfg
         s = self.stage
-        dim = m.embed_dim * 2 ** s
-        reso_in = m.img_size // (4 * 2 ** (s + 1))
-        tokens = CARAFE(dim, up_factor=2, use_simam=m.use_simam,
-                        use_pallas=m.use_pallas, dtype=m.dtype,
-                        name=f"upsample{s + 2}")(tokens, reso_in, reso_in)
-        tokens = jnp.concatenate([skip, tokens], axis=-1)
-        tokens = nn.Dense(dim, kernel_init=dense_init, dtype=m.dtype,
-                          name=f"concat_linear{s + 2}")(tokens)
+        if self.head:
+            dim = m.embed_dim * 2 ** s
+            reso_in = m.img_size // (4 * 2 ** (s + 1))
+            tokens = CARAFE(dim, up_factor=2, use_simam=m.use_simam,
+                            use_pallas=m.use_pallas, dtype=m.dtype,
+                            name=f"upsample{s + 2}")(tokens, reso_in,
+                                                     reso_in)
+            tokens = jnp.concatenate([skip, tokens], axis=-1)
+            tokens = nn.Dense(dim, kernel_init=dense_init, dtype=m.dtype,
+                              name=f"concat_linear{s + 2}")(tokens)
         return _run_stage(m, tokens, s, f"stage_up{s + 1}", False,
-                          deterministic)
+                          deterministic, self.lo, self.hi)
 
 
 class _Head(nn.Module):
@@ -221,11 +234,20 @@ _SEG_IO = {
 }
 
 
-def build_segments(model: CSWinUNet, flat_logits: bool = False
-                   ) -> List[Tuple[str, Callable]]:
+def build_segments(model: CSWinUNet, flat_logits: bool = False,
+                   depth_split: int = 0) -> List[Tuple[str, Callable]]:
     """Ordered (name, run) list; ``run(variables, carry, det, rngs)`` maps
     a carry dict (exactly ``_SEG_IO[name][0]``) to the output carry dict
-    (exactly ``_SEG_IO[name][1]``)."""
+    (exactly ``_SEG_IO[name][1]``).
+
+    ``depth_split > 0`` chunks every unscanned encoder/decoder stage deeper
+    than that into segments of at most ``depth_split`` blocks (names
+    ``enc3x0, enc3x1, ...``) — finer grains for the residual-saving "auto"
+    policy to pack against the HBM budget (round-5: at 2048^2 the 9-block
+    stage-3 twins are each ~3.5 GB of residuals as one segment, forcing
+    whole-stage recompute; as 3-block chunks most of them fit).  Chunk IO
+    and param ownership are registered in ``_SEG_IO``/``_PARAM_PREFIXES``
+    (idempotent — names are deterministic functions of the geometry)."""
 
     def as_run(name, module, out_fn):
         in_keys = _SEG_IO[name][0]
@@ -242,14 +264,57 @@ def build_segments(model: CSWinUNet, flat_logits: bool = False
     def set_tokens(c, out):
         c["tokens"] = out
 
+    from cswin_simam_unet_tpu.models.cswin import scan_min_depth
+    msd = scan_min_depth(model.scan_stages)
+
+    def chunks(depth):
+        """[(lo, hi)] block ranges for one stage (1 entry = unchunked)."""
+        scanned = msd is not None and depth >= msd
+        if not depth_split or scanned or depth <= depth_split:
+            return [(0, depth)]
+        bounds = list(range(0, depth, depth_split)) + [depth]
+        return list(zip(bounds[:-1], bounds[1:]))
+
     segs = [as_run("embed", _Embed(model), set_tokens)]
     for s in range(3):
         def set_enc(c, out, s=s):
             c["tokens"], c[f"skip{s}"] = out
-        segs.append(as_run(f"enc{s + 1}", _Encoder(model, s), set_enc))
+        ck = chunks(model.depth[s])
+        if len(ck) == 1:
+            # static _SEG_IO/_PARAM_PREFIXES entries (prefix-matched, so
+            # the scan-stages "stage{s}_scan" param key is covered too)
+            segs.append(as_run(f"enc{s + 1}", _Encoder(model, s), set_enc))
+            continue
+        for j, (lo, hi) in enumerate(ck):
+            final = hi == model.depth[s]
+            name = f"enc{s + 1}x{j}"
+            blocks = tuple(f"stage{s + 1}_{i}" for i in range(lo, hi))
+            _SEG_IO[name] = ((("tokens",), ("tokens", f"skip{s}"))
+                             if final else (("tokens",), ("tokens",)))
+            _PARAM_PREFIXES[name] = (
+                blocks + (f"merge{s + 1}",) if final else blocks)
+            segs.append(as_run(
+                name, _Encoder(model, s, lo=lo, hi=hi, tail=final),
+                set_enc if final else set_tokens))
     segs.append(as_run("bottleneck", _Bottleneck(model), set_tokens))
     for s in (2, 1, 0):
-        segs.append(as_run(f"dec{s + 1}", _Decoder(model, s), set_tokens))
+        ck = chunks(model.depth[s])
+        if len(ck) == 1:
+            segs.append(as_run(f"dec{s + 1}", _Decoder(model, s),
+                               set_tokens))
+            continue
+        for j, (lo, hi) in enumerate(ck):
+            head_c = lo == 0
+            name = f"dec{s + 1}x{j}"
+            blocks = tuple(f"stage_up{s + 1}_{i}" for i in range(lo, hi))
+            _SEG_IO[name] = ((("tokens", f"skip{s}"), ("tokens",))
+                             if head_c else (("tokens",), ("tokens",)))
+            _PARAM_PREFIXES[name] = (
+                (f"upsample{s + 2}", f"concat_linear{s + 2}") + blocks
+                if head_c else blocks)
+            segs.append(as_run(
+                name, _Decoder(model, s, lo=lo, hi=hi, head=head_c),
+                set_tokens))
     segs.append(as_run("head", _Head(model, flat_logits=flat_logits),
                        set_tokens))
     return segs
@@ -295,7 +360,9 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                               donate_carries: bool = True,
                               donate_state: bool = True,
                               mesh=None, augment=None, grad_accum: int = 1,
-                              save_residuals: bool = True) -> Callable:
+                              save_residuals="auto",
+                              residual_budget_bytes=None,
+                              depth_split: int = 0) -> Callable:
     """(state, images_u8, masks_u8, rng) -> (state, metrics), as a chain of
     per-segment jitted programs (see module docstring).
 
@@ -303,15 +370,32 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     math for LayerNorm models (CSWin) — no BatchNorm state threading.
     Round-5 additions (VERDICT r04 #3/#5):
 
-    * ``save_residuals=True`` (default): each segment's forward program
-      also emits its vjp residuals (the flattened ``jax.vjp`` closure), and
-      the backward program replays ONLY the backward from those residuals —
-      no forward recompute, so the executed-FLOPs tax of the chain drops to
-      ~0 (cost_flops: executed == useful).  Costs the residual memory of
-      the whole net between fwd and bwd (it fits at 2048^2 batch 1 — the
-      round-2 compile blocker was the compiler, not HBM; BASELINE.md).
-      ``save_residuals=False`` restores the O(one-segment) activation
-      memory of recompute-in-backward for beyond-HBM configs.
+    * ``save_residuals`` — PER-SEGMENT residual policy:
+      - ``True``: every segment's forward program also emits its vjp
+        residuals (the flattened ``jax.vjp`` closure) and the backward
+        replays ONLY the backward from them — no forward recompute
+        (cost_flops: executed == useful).  Costs the residual memory of
+        the whole net between fwd and bwd — measured NOT to fit v5e HBM
+        at 2048^2 batch 1 (RESOURCE_EXHAUSTED; the activations of the
+        monolithic no-remat graph fit because XLA frees them as the
+        backward walks, but the chain holds every segment's residuals
+        simultaneously at the loss point).
+      - ``False``: recompute-in-backward everywhere — O(one-segment)
+        activation memory, ~32% executed-FLOPs tax (round-3/4 mode).
+      - a set/list of segment names: save exactly those, recompute the
+        rest (mixed mode).
+      - ``"auto"`` (default): resolved on the first step from the real
+        shapes — per-segment residual sizes come from ``jax.eval_shape``
+        over the residual-saving forwards, and the largest segments are
+        demoted to recompute mode until the total fits the device budget
+        (``residual_budget_bytes`` or ~70% of the device's HBM minus
+        ~5x the parameter bytes for state/grads/workspace).  At 512^2
+        batch 8 everything saves; at 2048^2 batch 1 the deep stage-3
+        twins (and whatever else exceeds the budget) recompute.
+    * ``depth_split``: chunk unscanned stages deeper than this many blocks
+      into segments of at most that size (see ``build_segments``) — finer
+      residual grains for "auto" to pack against the HBM budget.  0 = one
+      segment per stage (the round-3/4 layout).
     * ``augment``: the reference's paired augmentation pipeline
       (data/augment.py) fused into the jitted prep program — train-only,
       exactly like the monolithic step.
@@ -368,9 +452,27 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     if accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     flat = _flat_head(model, n_classes)
-    segments = build_segments(model, flat_logits=flat)
+    segments = build_segments(model, flat_logits=flat,
+                              depth_split=depth_split)
     seg_names = [n for n, _ in segments]
     n_seg = len(segments)
+
+    # Per-segment residual policy (module docstring): res_mode[i] is True
+    # when segment i saves residuals, False when it recomputes.  "auto"
+    # stays None until the first call resolves it from concrete shapes.
+    if save_residuals == "auto":
+        res_mode: List[bool] | None = None
+    elif isinstance(save_residuals, bool):
+        res_mode = [save_residuals] * n_seg
+    elif isinstance(save_residuals, (set, frozenset, list, tuple)):
+        unknown = set(save_residuals) - set(seg_names)
+        if unknown:
+            raise ValueError(f"save_residuals names not segments: "
+                             f"{sorted(unknown)} (have {seg_names})")
+        res_mode = [n in set(save_residuals) for n in seg_names]
+    else:
+        raise ValueError(f"save_residuals: bool, 'auto', or a collection "
+                         f"of segment names (got {save_residuals!r})")
 
     # Per-segment function names: the compile-cache key (and the remote
     # compile service's job-dedup hash) includes the jitted symbol name.
@@ -379,16 +481,22 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
     # segment, which then hung all retries (observed 22 min on one
     # segment across three runs while the identical computation under a
     # fresh name compiled in 6 s).
-    seg_fwd = []
-    seg_bwd = []
+    # Both execution variants are built for every segment (jit is lazy —
+    # nothing compiles until a mode actually runs); ``res_mode`` picks per
+    # segment at call time.  shard_map builds the recompute pair only.
+    seg_fwd_save: List[Any] = []
+    seg_bwd_save: List[Any] = []
+    seg_fwd_rec: List[Any] = []
+    seg_bwd_rec: List[Any] = []
     _res_tree: Dict[str, Any] = {}  # vjp-closure treedefs, set at trace time
+    _res_fns: List[Callable] = []   # unjitted fwd_r's, for eval_shape sizing
     for name, run in segments:
         # deterministic=False: this is the TRAINING pass — dropout and
         # drop-path active, like the monolithic step's train=True
         def fwd(params, carry, key, _run=run):
             return _run({"params": params}, carry, False, {"dropout": key})
 
-        if save_residuals:
+        if not use_shard_map:
             def fwd_r(params, carry, key, _f=fwd, _name=name):
                 out, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key),
                                       params, carry)
@@ -407,65 +515,123 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
             # carry is chain-internal and dead after its segment consumes
             # it, and the residuals + cotangents die inside bwd.
             fdon = (1,) if (donate_carries and name != "embed") else ()
-            seg_fwd.append(jax.jit(fwd_r, donate_argnums=fdon))
-            seg_bwd.append(jax.jit(
+            _res_fns.append(fwd_r)
+            seg_fwd_save.append(jax.jit(fwd_r, donate_argnums=fdon))
+            seg_bwd_save.append(jax.jit(
                 bwd_r, donate_argnums=(0, 1) if donate_carries else ()))
         else:
-            def bwd(params, carry, key, g_out, _f=fwd):
-                _, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key), params,
-                                    carry)
-                gp, gc = vjp_fn(g_out)
-                return gp, gc
+            _res_fns.append(None)
+            seg_fwd_save.append(None)
+            seg_bwd_save.append(None)
 
-            fwd.__name__ = f"seg_{name}_fwd"
-            bwd.__name__ = f"seg_{name}_bwd"
-            if use_shard_map:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
+        def bwd(params, carry, key, g_out, _f=fwd):
+            _, vjp_fn = jax.vjp(lambda p, c: _f(p, c, key), params,
+                                carry)
+            gp, gc = vjp_fn(g_out)
+            return gp, gc
 
-                def bspec(k):
-                    return P("data", None, None, None) if k == "x" \
-                        else P("data", None, None)
+        fwd.__name__ = f"seg_{name}_fwd"
+        bwd.__name__ = f"seg_{name}_bwd"
+        if use_shard_map:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
 
-                in_keys, out_keys = _SEG_IO[name]
-                cin_spec = {k: bspec(k) for k in in_keys}
-                cout_spec = {k: bspec(k) for k in out_keys}
+            def bspec(k):
+                return P("data", None, None, None) if k == "x" \
+                    else P("data", None, None)
 
-                def fwd_sm(params, carry, key, _f=fwd, _ci=cin_spec,
-                           _co=cout_spec):
-                    return shard_map(
-                        _f, mesh=mesh, in_specs=(P(), _ci, P()),
-                        out_specs=_co, check_vma=False)(params, carry, key)
+            in_keys, out_keys = _SEG_IO[name]
+            cin_spec = {k: bspec(k) for k in in_keys}
+            cout_spec = {k: bspec(k) for k in out_keys}
 
-                def bwd_sm(params, carry, key, g_out, _f=fwd,
-                           _ci=cin_spec, _co=cout_spec):
-                    def local(p, c, k, g):
-                        _, vjp_fn = jax.vjp(
-                            lambda pp, cc: _f(pp, cc, k), p, c)
-                        gp, gc = vjp_fn(g)
-                        # local grads sum the shard's samples; the global
-                        # gradient is their cross-shard sum, replicated
-                        gp = jax.tree.map(
-                            lambda x: jax.lax.psum(x, "data"), gp)
-                        return gp, gc
-                    return shard_map(
-                        local, mesh=mesh,
-                        in_specs=(P(), _ci, P(), _co),
-                        out_specs=(P(), _ci), check_vma=False)(
-                        params, carry, key, g_out)
+            def fwd_sm(params, carry, key, _f=fwd, _ci=cin_spec,
+                       _co=cout_spec):
+                return shard_map(
+                    _f, mesh=mesh, in_specs=(P(), _ci, P()),
+                    out_specs=_co, check_vma=False)(params, carry, key)
 
-                fwd_sm.__name__ = f"seg_{name}_fwdsm"
-                bwd_sm.__name__ = f"seg_{name}_bwdsm"
-                seg_fwd.append(jax.jit(fwd_sm))
-                seg_bwd.append(jax.jit(
-                    bwd_sm, donate_argnums=(1, 3) if donate_carries else ()))
-            else:
-                # fwd must NOT donate: the backward pass re-consumes each
-                # segment's input carry.  bwd's carry + cotangent are each
-                # used exactly once.
-                seg_fwd.append(jax.jit(fwd))
-                seg_bwd.append(jax.jit(
-                    bwd, donate_argnums=(1, 3) if donate_carries else ()))
+            def bwd_sm(params, carry, key, g_out, _f=fwd,
+                       _ci=cin_spec, _co=cout_spec):
+                def local(p, c, k, g):
+                    _, vjp_fn = jax.vjp(
+                        lambda pp, cc: _f(pp, cc, k), p, c)
+                    gp, gc = vjp_fn(g)
+                    # local grads sum the shard's samples; the global
+                    # gradient is their cross-shard sum, replicated
+                    gp = jax.tree.map(
+                        lambda x: jax.lax.psum(x, "data"), gp)
+                    return gp, gc
+                return shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), _ci, P(), _co),
+                    out_specs=(P(), _ci), check_vma=False)(
+                    params, carry, key, g_out)
+
+            fwd_sm.__name__ = f"seg_{name}_fwdsm"
+            bwd_sm.__name__ = f"seg_{name}_bwdsm"
+            seg_fwd_rec.append(jax.jit(fwd_sm))
+            seg_bwd_rec.append(jax.jit(
+                bwd_sm, donate_argnums=(1, 3) if donate_carries else ()))
+        else:
+            # fwd must NOT donate: the backward pass re-consumes each
+            # segment's input carry.  bwd's carry + cotangent are each
+            # used exactly once.
+            seg_fwd_rec.append(jax.jit(fwd))
+            seg_bwd_rec.append(jax.jit(
+                bwd, donate_argnums=(1, 3) if donate_carries else ()))
+
+    def _resolve_res_mode(params, part, images, seg_key):
+        """The "auto" policy: size every segment's residuals abstractly
+        (zero FLOPs — ``jax.eval_shape`` over the residual-saving
+        forwards), then demote the largest segments to recompute until
+        the total fits the budget.  Returns the per-segment policy.
+        ``images``/``seg_key`` may be concrete arrays or shape structs."""
+        budget = residual_budget_bytes
+        if budget is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                hbm = int(stats.get("bytes_limit", 0)) or 16 * 1024 ** 3
+            except Exception:
+                hbm = 16 * 1024 ** 3
+            p_bytes = sum(a.size * a.dtype.itemsize
+                          for a in jax.tree.leaves(params))
+            # ~70% of HBM, minus ~5x params (f32 master + adamw moments +
+            # grads + update temporaries); carries/workspace live in the
+            # remaining 30%
+            budget = int(0.7 * hbm) - 5 * p_bytes
+        struct = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+        key_s = struct(seg_key)
+        sizes = []
+        cur = {"x": struct(images)}
+        skips: Dict[str, Any] = {}
+        for i, name in enumerate(seg_names):
+            in_keys, out_keys = _SEG_IO[name]
+            cin = {k: (cur.pop(k) if k in cur else skips.pop(k))
+                   for k in in_keys}
+            params_i = struct({k: params[k] for k in part[i]})
+            out, res = jax.eval_shape(_res_fns[i], params_i, cin, key_s)
+            sizes.append(sum(a.size * a.dtype.itemsize
+                             for a in jax.tree.leaves(res)))
+            cur = dict(out)
+            for k in out_keys:
+                if k.startswith("skip"):
+                    skips[k] = cur.pop(k)
+        mode = [True] * n_seg
+        total = sum(sizes)
+        for i in sorted(range(n_seg), key=lambda i: -sizes[i]):
+            if total <= budget:
+                break
+            mode[i] = False
+            total -= sizes[i]
+        import sys as _sys
+        print(f"segmented: auto residual policy — save "
+              f"{[n for n, m in zip(seg_names, mode) if m]}, recompute "
+              f"{[n for n, m in zip(seg_names, mode) if not m]} "
+              f"(residuals {sum(sizes) / 1e9:.2f} GB total, "
+              f"{total / 1e9:.2f} GB kept, budget {budget / 1e9:.2f} GB)",
+              file=_sys.stderr)
+        return mode
 
     def loss_and_glogits(logits, targets):
         def f(lg):
@@ -569,13 +735,14 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
             if collect is not None:
                 collect.setdefault("fwd", []).append(
                     (snap(params_i), snap(cin), snap(seg_keys[i])))
-            if save_residuals:
-                cout, res = seg_fwd[i](params_i, cin, seg_keys[i])
+            if res_mode[i]:
+                cout, res = seg_fwd_save[i](params_i, cin, seg_keys[i])
                 residuals.append(res)
                 inputs.append(None)
             else:
                 inputs.append(cin)
-                cout = seg_fwd[i](params_i, cin, seg_keys[i])
+                residuals.append(None)
+                cout = seg_fwd_rec[i](params_i, cin, seg_keys[i])
             cur = dict(cout)
             for k in out_keys:
                 if k.startswith("skip"):
@@ -594,11 +761,11 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
             in_keys, out_keys = _SEG_IO[name]
             g_out = {k: (g_tokens if k == "tokens" else g_skips.pop(k))
                      for k in out_keys}
-            if save_residuals:
+            if res_mode[i]:
                 if collect is not None:
                     collect.setdefault("bwd", []).insert(
                         0, (snap(residuals[i]), snap(g_out)))
-                gp, g_in = seg_bwd[i](residuals[i], g_out)
+                gp, g_in = seg_bwd_save[i](residuals[i], g_out)
                 residuals[i] = None  # donated
             else:
                 params_i = {k: params[k] for k in part[i]}
@@ -606,8 +773,8 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                     collect.setdefault("bwd", []).insert(
                         0, (snap(params_i), snap(inputs[i]),
                             snap(seg_keys[i]), snap(g_out)))
-                gp, g_in = seg_bwd[i](params_i, inputs[i], seg_keys[i],
-                                      g_out)
+                gp, g_in = seg_bwd_rec[i](params_i, inputs[i], seg_keys[i],
+                                          g_out)
                 inputs[i] = None  # donated
             for k in in_keys:
                 if k.startswith("skip"):
@@ -616,6 +783,11 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                     g_tokens = g_in[k]
             grads.update(gp)
         return grads, loss, msums
+
+    def _ensure_res_mode(params, part, images, seg_key):
+        nonlocal res_mode
+        if res_mode is None:
+            res_mode = _resolve_res_mode(params, part, images, seg_key)
 
     def step(state, images_u8, masks_u8, rng):
         assert state.batch_stats is None, \
@@ -626,6 +798,7 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         if accum == 1:
             k_aug, seg_keys = keys[0], keys[1:]
             images, targets = prep_jit(images_u8, masks_u8, k_aug)
+            _ensure_res_mode(state.params, part, images, seg_keys[0])
             grads, loss, msums = run_chain(state.params, part, images,
                                            targets, seg_keys)
         else:
@@ -641,6 +814,7 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
                 images, targets = prep_jit(images_u8[sl], masks_u8[sl],
                                            keys[a])
                 seg_keys = keys[accum + a * n_seg:accum + (a + 1) * n_seg]
+                _ensure_res_mode(state.params, part, images, seg_keys[0])
                 grads, loss, msums = run_chain(state.params, part, images,
                                                targets, seg_keys)
                 new = (grads, loss, msums)
@@ -751,6 +925,7 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         keys = make_keys_jit(rng)
         k_aug, seg_keys = keys[0], keys[1:]
         images, targets = prep_jit(images_u8, masks_u8, k_aug)
+        _ensure_res_mode(state.params, part, images, seg_keys[0])
         ctx: Dict[str, Any] = {}
         run_chain(state.params, part, images, targets, seg_keys,
                   collect=ctx)
@@ -760,24 +935,27 @@ def make_segmented_train_step(model: CSWinUNet, n_classes: int = 1,
         useful += flops_of(loss_jit, *ctx["loss"])
         # grads share the params' tree/shape/sharding (replicated under DP)
         useful += flops_of(update_jit, snap(state), snap(state.params))
-        fwd_flops = sum(flops_of(seg_fwd[i], *ctx["fwd"][i])
-                        for i in range(n_seg))
-        bwd_flops = sum(flops_of(seg_bwd[i], *ctx["bwd"][i])
-                        for i in range(n_seg))
-        if save_residuals:
-            # fwd programs hold the forward (with residual emission), bwd
-            # programs only the backward — no recompute anywhere
-            useful += fwd_flops + bwd_flops
-            executed = useful
-        else:
-            # each vjp program recomputes its forward internally: useful
-            # counts fwd+bwd once (inside seg_bwd); the separate forward
-            # chain is pure recompute overhead
-            useful += bwd_flops
-            executed = useful + fwd_flops
+        # Per-segment accounting (mixed residual policy): a residual-saving
+        # segment's fwd program holds the forward (+ residual emission) and
+        # its bwd program only the backward — both useful, no recompute.  A
+        # recompute segment's vjp program holds fwd+bwd (useful once); its
+        # separate forward-chain program is pure recompute overhead.
+        recompute = 0.0
+        for i in range(n_seg):
+            if res_mode[i]:
+                useful += flops_of(seg_fwd_save[i], *ctx["fwd"][i])
+                useful += flops_of(seg_bwd_save[i], *ctx["bwd"][i])
+            else:
+                useful += flops_of(seg_bwd_rec[i], *ctx["bwd"][i])
+                recompute += flops_of(seg_fwd_rec[i], *ctx["fwd"][i])
+        executed = useful + recompute
         scale = float(n_dev)  # SPMD cost analysis reports per-device flops
         return {"useful": useful * scale, "executed": executed * scale}
 
     step.eval_step = eval_step
     step.cost_flops = cost_flops
+    # diagnostic: the per-segment policy actually in effect (None until an
+    # "auto" build's first call resolves it)
+    step.residual_policy = lambda: (
+        None if res_mode is None else dict(zip(seg_names, res_mode)))
     return step

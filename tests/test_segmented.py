@@ -246,6 +246,84 @@ def test_segmented_recompute_mode_matches_residual_mode():
     assert worst < 1e-6, f"residual vs recompute params deviate by {worst}"
 
 
+def test_segmented_mixed_and_auto_residual_policies_match():
+    """Round-5: the per-segment residual policy (save some segments,
+    recompute others) and the "auto" HBM-budget policy compute the
+    identical step to the all-save chain.  A tiny forced budget must
+    demote segments (mixed mode actually engages) and cost_flops must
+    report the recompute tax of exactly the demoted segments."""
+    model = _model()
+    images_u8, masks_u8 = _data()
+    rng = jax.random.PRNGKey(13)
+
+    def run(**kw):
+        seg = make_segmented_train_step(model, n_classes=1,
+                                        donate_state=False, **kw)
+        new, metrics = seg(_state(model), jnp.asarray(images_u8),
+                           jnp.asarray(masks_u8), rng)
+        return seg, new, metrics
+
+    _, ref_new, ref_m = run(save_residuals=True)
+    ref_leaves = jax.tree_util.tree_leaves(jax.device_get(ref_new.params))
+
+    for kw in ({"save_residuals": {"embed", "enc1", "dec1", "head"}},
+               {"save_residuals": "auto"},
+               {"save_residuals": "auto",
+                "residual_budget_bytes": 2_000_000}):
+        seg, new, metrics = run(**kw)
+        assert float(metrics["loss"]) == pytest.approx(
+            float(ref_m["loss"]), abs=1e-6)
+        leaves = jax.tree_util.tree_leaves(jax.device_get(new.params))
+        worst = max(float(np.max(np.abs(a - b)))
+                    for a, b in zip(leaves, ref_leaves))
+        assert worst < 1e-6, (kw, worst)
+        policy = seg.residual_policy()
+        assert policy is not None and set(policy) == {
+            "embed", "enc1", "enc2", "enc3", "bottleneck",
+            "dec3", "dec2", "dec1", "head"}
+        if kw.get("residual_budget_bytes"):
+            demoted = [n for n, m in policy.items() if not m]
+            assert demoted, "tiny budget must demote segments to recompute"
+            cost = seg.cost_flops(_state(model), jnp.asarray(images_u8),
+                                  jnp.asarray(masks_u8), rng)
+            assert cost["executed"] > cost["useful"] > 0
+
+    with pytest.raises(ValueError, match="not segments"):
+        make_segmented_train_step(model, n_classes=1,
+                                  save_residuals={"nope"})
+
+
+def test_segmented_depth_split_matches_unsplit():
+    """Round-5: chunking deep stages into <=N-block segments
+    (build_segments depth_split — finer residual grains for the auto
+    policy at 2048^2) computes the identical step, and the chunked param
+    partition still covers every root key exactly once."""
+    from cswin_simam_unet_tpu.train.segmented import segment_param_keys
+    model = _model()  # depth (1, 2, 2, 1): stage 2/3 chunk at split 1
+    images_u8, masks_u8 = _data()
+    rng = jax.random.PRNGKey(17)
+
+    segs = build_segments(model, depth_split=1)
+    names = [n for n, _ in segs]
+    assert "enc3x0" in names and "enc3x1" in names and "dec3x1" in names
+    st = _state(model)
+    part = segment_param_keys(st.params, segs)
+    assert sum(len(p) for p in part) == len(st.params)
+
+    outs = []
+    for ds in (0, 1):
+        seg = make_segmented_train_step(model, n_classes=1,
+                                        donate_state=False, depth_split=ds)
+        new, metrics = seg(_state(model), jnp.asarray(images_u8),
+                           jnp.asarray(masks_u8), rng)
+        outs.append((float(metrics["loss"]),
+                     jax.tree_util.tree_leaves(jax.device_get(new.params))))
+    (l0, p0), (l1, p1) = outs
+    assert l0 == pytest.approx(l1, abs=1e-6)
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(p0, p1))
+    assert worst < 1e-6, f"depth_split chain deviates by {worst}"
+
+
 def test_segmented_augment_matches_monolithic():
     """Segmented + on-device augmentation (VERDICT r04 #5): with dropout
     inert, the augment streams are keyed identically (k_aug = first split

@@ -32,10 +32,12 @@ Design (differs from v2 where the trade-offs differ at large N):
   (cheap, bandwidth-bound), then two kernels: dQ on grid (G, n_q) sweeping
   KV tiles, and dK/dV on grid (G, n_kv) sweeping Q tiles.  Both recompute
   p = exp(s - L) from the saved statistics — no N^2 residuals.
-* Attention dropout uses the in-kernel TPU PRNG re-seeded per
-  (window, head, q-tile, kv-tile) block with tile sizes FIXED across the
-  three kernels, so forward and both backward kernels regenerate bitwise
-  identical masks regardless of their different sweep orders.
+* Attention dropout derives each element's keep bit from a vectorised
+  counter hash of (seed, window, head, q-tile, kv-tile, row, col) — a
+  pure function of VALUES, so forward and both backward kernels
+  regenerate bitwise identical masks regardless of their different sweep
+  orders and of whatever layout Mosaic assigns (see ``_keep_mask`` for
+  why the hardware PRNG cannot provide this).
 
 On non-TPU backends (interpret mode) active dropout falls back to the XLA
 path, exactly like v2 — the dropout-free fwd+bwd kernels are fully
@@ -95,16 +97,47 @@ def _drop_params(attn_drop: float):
     return threshold, 1.0 / (1.0 - attn_drop)
 
 
-def _seed_tile(seed_ref, g, h: int, qi, kj):
-    """Per-(window, head, q-tile, kv-tile) PRNG stream, independent of the
-    kernel's sweep order (fwd sweeps kj per qi; dkv sweeps qi per kj)."""
-    pltpu.prng_seed(seed_ref[0], ((g * 1_000_003 + h) * 4099 + qi) * 257 + kj)
-
-
 def _keep_mask(seed_ref, g, h: int, qi, kj, TQ: int, TK: int, threshold: int):
-    _seed_tile(seed_ref, g, h, qi, kj)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((TQ, TK)), jnp.uint32)
-    return bits >= jnp.uint32(threshold)
+    """Per-element keep decisions as a PURE FUNCTION of (seed, window,
+    head, q-tile, kv-tile, element row/col), computed with vector integer
+    ops (a murmur3-style finalizer over an iota counter).
+
+    Deliberately NOT ``pltpu.prng_random_bits``: the hardware PRNG fills
+    its output buffer in the order of the layout Mosaic picks for the
+    consumer, so the same seed can map bits to DIFFERENT (row, col)
+    elements in kernels that consume the mask in different orientations.
+    Measured on v5e (2026-08-21): each kernel alone was bitwise
+    deterministic, but the fwd/dq/dkv keep masks diverged — a 28-44%
+    finite-difference-vs-analytic gradient gap at attn_drop=0.3
+    (tests/test_tpu_numerics.py::test_flash_attention_dropout_on_tpu).
+    An iota-derived counter hash is layout-independent by construction:
+    an element's VALUE determines its bits wherever Mosaic places it, so
+    the three sweep orders regenerate identical masks — and tests can
+    rebuild the exact mask in plain jnp (``hash_keep_mask``) to compare
+    the kernels against a mask-exact XLA oracle, a direct gradient gate
+    that a finite-difference check cannot provide at this scale (the f32
+    online-softmax forward's ~6e-4 relative rounding noise divided by a
+    usable eps swamps small directional derivatives — measured 2026-08-21:
+    FD error 60% at eps=2e-3, 4.8% at eps=1e-2, while the oracle
+    comparison pins dq/dk/dv at ~4e-4)."""
+    return hash_keep_mask(seed_ref[0], g, h, qi, kj, TQ, TK, threshold)
+
+
+def hash_keep_mask(seed, g, h, qi, kj, TQ: int, TK: int, threshold: int):
+    """The keep mask as pure jnp — the single source of truth shared by
+    the three kernels and by test oracles (see ``_keep_mask``)."""
+    tile = ((g * jnp.int32(1_000_003) + jnp.int32(h)) * 4099
+            + qi) * 257 + kj
+    x = (lax.broadcasted_iota(jnp.int32, (TQ, TK), 0).astype(jnp.uint32)
+         * jnp.uint32(TK)
+         + lax.broadcasted_iota(jnp.int32, (TQ, TK), 1).astype(jnp.uint32))
+    x = x ^ (jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x ^ (tile.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    # murmur3 fmix32: full avalanche so consecutive counters decorrelate
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x >= jnp.uint32(threshold)
 
 
 def _dot(a, b, ca: int, cb: int):

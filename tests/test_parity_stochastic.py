@@ -74,11 +74,34 @@ def _run_torch(seed, train_batches, eval_images, eval_masks,
         mlp_ratio=4.0, qkv_bias=True, drop_rate=DROP, attn_drop_rate=DROP,
         drop_path_rate=DROP)
     if head_scale is not None:
-        # amplify the bias-free 1x1 head (ref :603) so sigmoid outputs
-        # saturate away from the 0.5 threshold: Dice then has signal from
-        # step 0 instead of being degenerate-0 at short-run flagship scale
-        # (VERDICT r04 #6's "init scaled so sigmoid outputs cross 0.5")
+        # Make Dice non-degenerate from step 0 (VERDICT r04 #6's "init
+        # scaled so sigmoid outputs cross 0.5").  Amplification alone is
+        # NOT enough: the random-init logit field has a nonzero mean, and
+        # scaling amplifies that mean as much as the spread — measured
+        # Dice 0 for BOTH frameworks at x30 (every logit below 0).  So
+        # first CENTER the logits at their median via the CARAFE4
+        # out-conv bias (`upsample1.out`, ref :448 — it feeds the
+        # bias-free 1x1 head at :603 directly, so a channel shift delta
+        # moves every logit by exactly w . delta), then amplify: logits
+        # become head_scale * (l - median(l)), i.e. half the pixels
+        # predict positive by construction.  Both frameworks import the
+        # SAME calibrated state dict, so the parity semantics are
+        # unchanged.
         with torch.no_grad():
+            ref.eval()
+            x_ev = torch.tensor(
+                eval_images.transpose(0, 3, 1, 2).astype(np.float32)
+                / 255.0)
+            p1 = ref(x_ev)
+            l1 = torch.logit(p1.clamp(1e-5, 1 - 1e-5))
+            # center at the 25th percentile (not the median): ~75% of
+            # pixels then predict positive, so the spatially-structured
+            # positive region overlaps the targets on EVERY seed (at the
+            # median, 2 of 3 seeds' positive halves missed the targets
+            # entirely -> degenerate 0-0 Dice pairs that gate nothing)
+            mu = float(torch.quantile(l1.float(), 0.25))
+            w = ref.output.weight.reshape(-1)
+            ref.upsample1.out.bias.add_((-mu / float((w * w).sum())) * w)
             ref.output.weight.mul_(head_scale)
     sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
     opt = torch.optim.AdamW(ref.parameters(), lr=steps_lr or LR,
@@ -237,12 +260,20 @@ def test_flagship_geometry_dice_parity_default_suite():
         batches = [(tr_imgs[i * batch:(i + 1) * batch],
                     tr_masks[i * batch:(i + 1) * batch])
                    for i in range(steps)]
+        # head_scale 30 + lr 1e-5: the measured operating point where the
+        # calibrated Dice stays non-degenerate THROUGH training (at the
+        # recipe lr 1e-4, four AdamW steps on the x30-amplified head slam
+        # every logit back below threshold — background pixels dominate
+        # the BCE gradient; measured Dice-after-training 0.0 at
+        # scale/lr (30, 1e-4), (8, 1e-5..3e-5), (4, 1e-4) vs 0.254 here)
         sd, ref_dice, ref_loss = _run_torch(
             seed, batches, eval_images, eval_masks,
-            img=img, depth=depth, split=split, heads=heads, head_scale=30.0)
+            img=img, depth=depth, split=split, heads=heads,
+            head_scale=30.0, steps_lr=1e-5)
         our_dice, our_loss = _run_ours(
             sd, seed, batches, eval_images, eval_masks,
-            img=img, depth=depth, split=split, heads=heads)
+            img=img, depth=depth, split=split, heads=heads,
+            steps_lr=1e-5)
         refs.append(ref_dice)
         ours.append(our_dice)
         print(f"flagship-geom seed {seed}: ref dice {ref_dice:.4f} "
